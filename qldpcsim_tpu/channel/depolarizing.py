@@ -1,0 +1,57 @@
+"""Depolarizing channel + syndrome extraction, fully on device.
+
+Replaces the reference's Stim sampling step (simulator.py:196-197) and
+error-recording CNOT/H ladders (simulator.py:99-118): under DEPOLARIZE1(p)
+each qubit independently suffers I with probability 1-p and X, Y, Z with
+probability p/3 each (PAULI_CHANNEL_1(p/3,p/3,p/3), simulator.py:107). The
+X-component errX is set for {X, Y}; the Z-component errZ for {Y, Z}. The
+measured stabilizer record of the corrupted codeword equals
+  sy_z = Hz @ errX mod 2   (Z-checks detect X errors)
+  sy_x = Hx @ errZ mod 2   (X-checks detect Z errors)
+independent of the encoded logical/stabilizer frame, which is why no tableau
+synthesis is needed (tested against the explicit encoder in
+tests/test_channel.py).
+
+RNG discipline (fixing reference landmine L10 — np.random.seed never reached
+Stim's sampler): a deterministic jax.random key hierarchy
+seed -> p-point -> chunk, so runs are reproducible and sharding-layout
+invariant (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_depolarizing(key, p, shape):
+    """Sample (errX, errZ) bool arrays of `shape` under DEPOLARIZE1(p).
+
+    One uniform draw per qubit partitions [0, 1) into
+    [0, p/3) -> X, [p/3, 2p/3) -> Y, [2p/3, p) -> Z, [p, 1) -> I.
+    """
+    p = jnp.asarray(p, dtype=jnp.float32)
+    u = jax.random.uniform(key, shape, dtype=jnp.float32)
+    err_x = u < (2.0 * p / 3.0)
+    err_z = (u >= p / 3.0) & (u < p)
+    return err_x, err_z
+
+
+def syndromes_of(err_x, err_z, Hx_T, Hz_T):
+    """Syndromes of an error pair via MXU matmuls mod 2.
+
+    Hx_T, Hz_T: (n, m_*) float32 transposed parity-check matrices.
+    Returns (sy_z, sy_x) float32 0/1 arrays, ordered like the reference's
+    measurement record (sy_z first; simulator.py:141-144, 249-250).
+    """
+    f32 = jnp.float32
+    sy_z = jnp.mod(jnp.dot(err_x.astype(f32), Hz_T, preferred_element_type=f32), 2.0)
+    sy_x = jnp.mod(jnp.dot(err_z.astype(f32), Hx_T, preferred_element_type=f32), 2.0)
+    return sy_z, sy_x
+
+
+def sample_shot_batch(key, p, n, batch, Hx_T, Hz_T):
+    """Sample one batch of shots: errors plus both syndromes."""
+    err_x, err_z = sample_depolarizing(key, p, (batch, n))
+    sy_z, sy_x = syndromes_of(err_x, err_z, Hx_T, Hz_T)
+    return err_x, err_z, sy_z, sy_x

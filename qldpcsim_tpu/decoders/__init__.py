@@ -1,0 +1,63 @@
+"""Batched syndrome decoders over Tanner graphs.
+
+Decoder families (reference: qLDPCsim/decoders.py):
+  * NG  — naive-greedy           (decoders.py:27-66)
+  * BF  — bit-flipping           (decoders.py:74-102)
+  * MS  — normalized min-sum     (decoders.py:110-182)
+  * BP  — belief propagation     (decoders.py:189-290)
+  * OSD — ordered-statistics post-decoder (decoders.py:299-369)
+
+All decoders here are batched over shots (the reference decodes one shot per
+Python call), run under jit with static shapes, and use a padded edge layout
+(row-major (m, dmax) message blocks) instead of the reference's dense (m, n)
+matrices or per-edge Python loops.
+"""
+
+from qldpcsim_tpu.decoders.common import (
+    TannerGraph,
+    LayerSchedule,
+    layerize,
+    build_layers,
+    DecoderConfig,
+    DecodeResult,
+)
+from qldpcsim_tpu.decoders.ms import make_ms_decoder
+from qldpcsim_tpu.decoders.bp import make_bp_decoder
+from qldpcsim_tpu.decoders.bf import make_bf_decoder
+from qldpcsim_tpu.decoders.ng import make_ng_decoder
+from qldpcsim_tpu.decoders.osd import make_osd, OSDStatic
+
+__all__ = [
+    "TannerGraph",
+    "LayerSchedule",
+    "layerize",
+    "build_layers",
+    "DecoderConfig",
+    "DecodeResult",
+    "make_ms_decoder",
+    "make_bp_decoder",
+    "make_bf_decoder",
+    "make_ng_decoder",
+    "make_osd",
+    "OSDStatic",
+    "make_decoder",
+]
+
+
+def make_decoder(graph, cfg, layers=None):
+    """Dispatch a batched decoder for `cfg.dec_type` over `graph`.
+
+    Mirrors the reference's decoder dispatch (simulator.py:270-284) but
+    returns a jit-compatible batched callable
+    decode(syndromes, p) -> DecodeResult.
+    """
+    kind = cfg.dec_type.upper()
+    if kind == "MS":
+        return make_ms_decoder(graph, cfg, layers=layers)
+    if kind == "BP":
+        return make_bp_decoder(graph, cfg, layers=layers)
+    if kind == "BF":
+        return make_bf_decoder(graph, cfg)
+    if kind == "NG":
+        return make_ng_decoder(graph, cfg)
+    raise ValueError("Unrecognized decoder type.")

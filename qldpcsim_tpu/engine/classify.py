@@ -1,0 +1,108 @@
+"""Batched decode-event classification.
+
+Reference counters (simulator.py:291-315):
+  decSuccessExact — decoded error equals the true error on both components
+  decSuccessDegen — reference-compatible "degenerate" test: integer matmul
+                    WITHOUT mod 2 equals zero (zero support overlap), the
+                    reference's landmine L2 (simulator.py:296-298, minus the
+                    live breakpoint). Practically never fires — kept for
+                    parity-comparable output.
+  DecFailures_X/Z — decoded syndrome mismatches the observed syndrome
+                    (simulator.py:300-303)
+
+Honest classification (the capability the reference deleted — SURVEY.md §2.6):
+a residual r = err XOR e_hat with zero syndrome is either a stabilizer
+(harmless) or a logical operator. Over GF(2), r in rowspace(H) iff
+null_space(H) @ r == 0 (rowspace = kernel-of-nullspace duality), so both
+checks are single MXU matmuls against precomputed static bases:
+  stabilizer  : Hz r == 0 (mod 2)  and  Knull_x r == 0 (mod 2)
+  logical     : Hz r == 0 (mod 2)  and  Lz r != 0 (mod 2)
+with Lz @ r giving exactly WHICH logical qubits flipped (symplectic pairing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from qldpcsim_tpu import gf2
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassifierStatic:
+    """Static matrices for classification of one CSS code."""
+
+    Hx: np.ndarray
+    Hz: np.ndarray
+    Kx: np.ndarray  # null_space(Hx): r in rowspace(Hx) iff Kx r == 0
+    Kz: np.ndarray  # null_space(Hz)
+    Lx: np.ndarray
+    Lz: np.ndarray
+
+    @staticmethod
+    def build(Hx: np.ndarray, Hz: np.ndarray) -> "ClassifierStatic":
+        Hx = np.asarray(Hx) % 2
+        Hz = np.asarray(Hz) % 2
+        Lx, Lz = gf2.logical_ops(Hx, Hz)
+        return ClassifierStatic(
+            Hx=Hx, Hz=Hz,
+            Kx=gf2.null_space(Hx), Kz=gf2.null_space(Hz),
+            Lx=Lx, Lz=Lz,
+        )
+
+
+def _mm2(a, M_T):
+    f32 = jnp.float32
+    return jnp.mod(jnp.dot(a.astype(f32), M_T, preferred_element_type=f32), 2.0)
+
+
+def classify_batch(st: ClassifierStatic, err_x, err_z, ex_hat, ez_hat,
+                   sy_z, sy_x):
+    """Classify one batch of decode outcomes. Returns a dict of int32 counts
+    plus per-shot masks needed upstream. All device-side."""
+    f32 = jnp.float32
+    rx = jnp.logical_xor(err_x.astype(bool), ex_hat.astype(bool))
+    rz = jnp.logical_xor(err_z.astype(bool), ez_hat.astype(bool))
+
+    exact = (~jnp.any(rx, axis=-1)) & (~jnp.any(rz, axis=-1))
+
+    # Reference-compatible degenerate test (integer matmul, no mod — L2).
+    ov_x = jnp.dot(rx.astype(f32), jnp.asarray(st.Hz.T, f32),
+                   preferred_element_type=f32)
+    ov_z = jnp.dot(rz.astype(f32), jnp.asarray(st.Hx.T, f32),
+                   preferred_element_type=f32)
+    ref_degen = (~exact) & jnp.all(ov_x == 0.0, axis=-1) & jnp.all(ov_z == 0.0, axis=-1)
+
+    # Decoder failures: decoded syndrome mismatch (simulator.py:300-303).
+    syn_zhat = _mm2(ex_hat, jnp.asarray(st.Hz.T, f32))
+    syn_xhat = _mm2(ez_hat, jnp.asarray(st.Hx.T, f32))
+    fail_x = jnp.any(syn_zhat != sy_z.astype(f32), axis=-1)
+    fail_z = jnp.any(syn_xhat != sy_x.astype(f32), axis=-1)
+
+    # Honest classification.
+    undet_x = ~jnp.any(_mm2(rx, jnp.asarray(st.Hz.T, f32)), axis=-1)
+    undet_z = ~jnp.any(_mm2(rz, jnp.asarray(st.Hx.T, f32)), axis=-1)
+    k = st.Lx.shape[0]
+    if k:
+        log_x = jnp.any(_mm2(rx, jnp.asarray(st.Lz.T, f32)), axis=-1) & undet_x
+        log_z = jnp.any(_mm2(rz, jnp.asarray(st.Lx.T, f32)), axis=-1) & undet_z
+    else:
+        log_x = jnp.zeros(rx.shape[0], bool)
+        log_z = jnp.zeros(rz.shape[0], bool)
+    stab_x = undet_x & (~log_x)
+    stab_z = undet_z & (~log_z)
+    success_honest = stab_x & stab_z
+
+    i32 = jnp.int32
+    counts = {
+        "decSuccessExact": jnp.sum(exact, dtype=i32),
+        "decSuccessDegen": jnp.sum(ref_degen, dtype=i32),
+        "DecFailures_X": jnp.sum(fail_x, dtype=i32),
+        "DecFailures_Z": jnp.sum(fail_z, dtype=i32),
+        "successStabilizer": jnp.sum(success_honest, dtype=i32),
+        "logicalErrors_X": jnp.sum(log_x, dtype=i32),
+        "logicalErrors_Z": jnp.sum(log_z, dtype=i32),
+    }
+    return counts

@@ -1,0 +1,72 @@
+"""Mesh construction and shot-sharded execution.
+
+Parallel axes (SURVEY.md §2, "parallelism strategies"): shots are
+embarrassingly parallel Monte Carlo — the batch axis shards over a 1-D
+('shots',) mesh (ICI collectives); p-points are an outer loop (optionally a
+second mesh axis — see dryrun in __graft_entry__.py). The entire cross-device
+reduction payload is the per-chunk integer counter vector (simulator.py:308-315
+in the reference), reduced with psum inside shard_map.
+
+RNG discipline: per-chunk keys are derived from global chunk indices
+(seed -> p-index -> global chunk), so counters are bit-exact regardless of
+device count — integer sums are order-independent. Tested in
+tests/test_parallel.py on a virtual 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def multihost_init():
+    """Initialize jax.distributed when running under a multi-host launcher.
+
+    No-op on a single host (the reference has no distributed path at all)."""
+    try:
+        if jax.process_count() > 1:
+            return
+        jax.distributed.initialize()
+    except Exception:
+        pass  # single-host / already initialized
+
+
+def make_mesh(devices=None, axis: str = "shots") -> Mesh:
+    """1-D device mesh over all (or given) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (axis,))
+
+
+def chunk_keys(key_p, chunk_start: int, n_parallel: int):
+    """Deterministic per-slot keys for global chunk indices
+    chunk_start .. chunk_start + n_parallel - 1."""
+    idx = jnp.arange(chunk_start, chunk_start + n_parallel, dtype=jnp.uint32)
+    return jax.vmap(lambda i: jax.random.fold_in(key_p, i))(idx)
+
+
+def shard_chunk_fn(mesh: Mesh, chunk_fn: Callable, axis: str = "shots"):
+    """Wrap a single-device chunk body for shot-sharded execution.
+
+    chunk_fn(key, p, n_valid) -> dict of scalar counters. The wrapped function
+    takes per-device keys (ndev, ...) and per-device valid counts (ndev,),
+    runs one chunk per device, and psums the counter dict over the mesh so
+    every process sees the global counts.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def per_device(keys, p, n_valids):
+        counts = chunk_fn(keys[0], p, n_valids[0])
+        return {k: jax.lax.psum(v, axis) for k, v in counts.items()}
+
+    sharded = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(axis)),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

@@ -1,12 +1,20 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so the
-sharded paths are exercised without TPU hardware (SURVEY.md §4.4)."""
+sharded paths are exercised without TPU hardware (SURVEY.md §4.4).
+
+Note: this environment registers an `axon` TPU PJRT plugin at interpreter
+start (sitecustomize) which overrides JAX_PLATFORMS from the environment, so
+the CPU override must go through jax.config before any backend initializes.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
