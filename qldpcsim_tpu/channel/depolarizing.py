@@ -55,3 +55,20 @@ def sample_shot_batch(key, p, n, batch, Hx_T, Hz_T):
     err_x, err_z = sample_depolarizing(key, p, (batch, n))
     sy_z, sy_x = syndromes_of(err_x, err_z, Hx_T, Hz_T)
     return err_x, err_z, sy_z, sy_x
+
+
+def sample_shot_tiles(keys, p, n, tile, Hx_T, Hz_T):
+    """Sample a batch composed of fixed-size tiles, one PRNG key per tile.
+
+    keys: (n_tiles, 2) uint32 PRNG keys (one per GLOBAL tile index). The tile
+    is the sharding-invariant unit of randomness: a run with the same global
+    tile stream produces bit-identical shots regardless of how tiles are
+    distributed over devices (SURVEY.md §7 "multi-host RNG discipline").
+    Returns (n_tiles * tile, n) batched errors and syndromes.
+    """
+    err_x, err_z = jax.vmap(
+        lambda k: sample_depolarizing(k, p, (tile, n)))(keys)
+    err_x = err_x.reshape(-1, n)
+    err_z = err_z.reshape(-1, n)
+    sy_z, sy_x = syndromes_of(err_x, err_z, Hx_T, Hz_T)
+    return err_x, err_z, sy_z, sy_x

@@ -59,9 +59,9 @@ def _mm2(a, M_T):
 
 
 def classify_batch(st: ClassifierStatic, err_x, err_z, ex_hat, ez_hat,
-                   sy_z, sy_x):
-    """Classify one batch of decode outcomes. Returns a dict of int32 counts
-    plus per-shot masks needed upstream. All device-side."""
+                   sy_z, sy_x, valid=None):
+    """Classify one batch of decode outcomes. Returns a dict of int32 counts.
+    `valid` masks out padding shots in a partial final chunk. All device-side."""
     f32 = jnp.float32
     rx = jnp.logical_xor(err_x.astype(bool), ex_hat.astype(bool))
     rz = jnp.logical_xor(err_z.astype(bool), ez_hat.astype(bool))
@@ -95,14 +95,20 @@ def classify_batch(st: ClassifierStatic, err_x, err_z, ex_hat, ez_hat,
     stab_z = undet_z & (~log_z)
     success_honest = stab_x & stab_z
 
+    if valid is None:
+        valid = jnp.ones(rx.shape[0], bool)
     i32 = jnp.int32
+
+    def _c(mask):
+        return jnp.sum(mask & valid, dtype=i32)
+
     counts = {
-        "decSuccessExact": jnp.sum(exact, dtype=i32),
-        "decSuccessDegen": jnp.sum(ref_degen, dtype=i32),
-        "DecFailures_X": jnp.sum(fail_x, dtype=i32),
-        "DecFailures_Z": jnp.sum(fail_z, dtype=i32),
-        "successStabilizer": jnp.sum(success_honest, dtype=i32),
-        "logicalErrors_X": jnp.sum(log_x, dtype=i32),
-        "logicalErrors_Z": jnp.sum(log_z, dtype=i32),
+        "decSuccessExact": _c(exact),
+        "decSuccessDegen": _c(ref_degen),
+        "DecFailures_X": _c(fail_x),
+        "DecFailures_Z": _c(fail_z),
+        "successStabilizer": _c(success_honest),
+        "logicalErrors_X": _c(log_x),
+        "logicalErrors_Z": _c(log_z),
     }
     return counts

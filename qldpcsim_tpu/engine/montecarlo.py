@@ -1,0 +1,328 @@
+"""Monte-Carlo qBLER engine.
+
+Reference parity (simulator.py:167-347): per-p pipeline sample -> decode ->
+classify -> counters, an outer p-sweep, and the results table. Differences by
+design (all documented in DIVERGENCES.md):
+
+  * the whole shot pipeline is batched and jit-compiled on device — the
+    reference's serial per-shot Python loop (simulator.py:244) becomes a
+    chunked batch axis, optionally sharded over a device mesh;
+  * channel sampling is native GF(2) (channel/), not Stim;
+  * X-error decoding uses matrix Hz with prior p/3 exactly like the reference
+    (simulator.py:278-279, landmine L3), and schedules derive from the decode
+    matrix by default (landmine L1; `layer_compat=True` reproduces the
+    reference's cross-wiring);
+  * OSD runs only on decoder-failed shots, compacted into padded power-of-two
+    buckets to bound recompilation (SURVEY.md §7 "divergent OSD path");
+  * deterministic key hierarchy seed -> p-index -> global chunk (landmine
+    L10), making counters bit-exact across sharding layouts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qldpcsim_tpu.channel.depolarizing import sample_shot_tiles
+from qldpcsim_tpu.decoders import (
+    DecoderConfig,
+    TannerGraph,
+    build_layers,
+    make_decoder,
+    make_osd,
+)
+from qldpcsim_tpu.engine.classify import ClassifierStatic, classify_batch
+from qldpcsim_tpu.engine.results import PPointResult, format_results_table
+from qldpcsim_tpu.utils.checkpoint import CheckpointStore
+
+_COUNTER_KEYS = (
+    "decSuccessExact",
+    "decSuccessDegen",
+    "DecFailures_X",
+    "DecFailures_Z",
+    "successStabilizer",
+    "logicalErrors_X",
+    "logicalErrors_Z",
+    "nIterAccX",
+    "nIterAccZ",
+)
+
+
+@dataclasses.dataclass
+class SimConfig:
+    """Simulation configuration (reference flag surface simulator.py:319-327
+    plus TPU-native execution knobs)."""
+
+    shots: int = 1000
+    dec_type: str = "MS"
+    dec_iterations: int = 99
+    dec_schedule: str = "F"
+    osd_order: int = -1
+    rng_seed: Optional[int] = None
+    batch_size: int = 0           # 0 = auto
+    layer_compat: bool = False    # reproduce reference cross-wired layers (L1)
+    mesh: object = None           # jax.sharding.Mesh over a 'shots' axis
+    checkpoint_dir: Optional[str] = None
+    progress: bool = False
+
+    def decoder_config(self) -> DecoderConfig:
+        return DecoderConfig(
+            dec_type=self.dec_type,
+            max_iter=self.dec_iterations,
+            schedule=self.dec_schedule,
+            osd_order=self.osd_order,
+            layer_compat=self.layer_compat,
+        )
+
+
+def _auto_batch(n: int, shots: int, n_dev: int) -> int:
+    """Pick a chunk size: large enough to feed the MXU, small enough to keep
+    message state comfortably in HBM; a multiple of 64 * n_dev so the RNG
+    tile stream (and therefore every counter) is device-layout invariant."""
+    quantum = 64 * n_dev
+    target = 4096 if n <= 1536 else 2048
+    b = min(max(target, quantum), max(quantum, shots))
+    return max(quantum, (b // quantum) * quantum)
+
+
+def _tile_size(batch: int, per_dev: int) -> int:
+    """RNG tile size: 64 when the layout allows (=> layout-invariant
+    counters), else the largest divisor of both."""
+    t = math.gcd(batch, 64)
+    if per_dev % t:
+        t = math.gcd(per_dev, t)
+    return max(1, t)
+
+
+class ShotPipeline:
+    """Compiled per-(code, decoder-config) shot pipeline, reusable across p."""
+
+    def __init__(self, Hx: np.ndarray, Hz: np.ndarray, cfg: SimConfig):
+        self.Hx = (np.asarray(Hx) % 2).astype(np.int8)
+        self.Hz = (np.asarray(Hz) % 2).astype(np.int8)
+        self.cfg = cfg
+        self.n = self.Hx.shape[1]
+        dcfg = cfg.decoder_config()
+
+        # X errors are decoded through Hz, Z errors through Hx
+        # (reference simulator.py:272-282).
+        graph_x = TannerGraph.build(self.Hz)
+        graph_z = TannerGraph.build(self.Hx)
+        needs_layers = dcfg.dec_type.upper() in ("MS", "BP")
+        layers_x = layers_z = None
+        if needs_layers:
+            layers_x = build_layers(self.Hz, dcfg.schedule,
+                                    H_layerize=self.Hx if cfg.layer_compat else None)
+            layers_z = build_layers(self.Hx, dcfg.schedule,
+                                    H_layerize=self.Hz if cfg.layer_compat else None)
+        self.dec_x = make_decoder(graph_x, dcfg, layers=layers_x)
+        self.dec_z = make_decoder(graph_z, dcfg, layers=layers_z)
+        self.classifier = ClassifierStatic.build(self.Hx, self.Hz)
+        self.Hx_T = jnp.asarray(self.Hx.T, jnp.float32)
+        self.Hz_T = jnp.asarray(self.Hz.T, jnp.float32)
+
+        self.use_osd = cfg.osd_order >= 0 and dcfg.dec_type.upper() in ("MS", "BP")
+        if self.use_osd:
+            self.osd_x = make_osd(self.Hz, cfg.osd_order)
+            self.osd_z = make_osd(self.Hx, cfg.osd_order)
+            self._osd_apply_x = jax.jit(self._make_osd_apply(self.osd_x))
+            self._osd_apply_z = jax.jit(self._make_osd_apply(self.osd_z))
+
+        n_dev = cfg.mesh.devices.size if cfg.mesh is not None else 1
+        self.batch = cfg.batch_size or _auto_batch(self.n, cfg.shots, n_dev)
+        if self.batch % n_dev:
+            raise ValueError(f"batch_size {self.batch} not divisible by "
+                             f"device count {n_dev}")
+        self.n_dev = n_dev
+        self.per_dev = self.batch // n_dev
+        self.tile = _tile_size(self.batch, self.per_dev)
+        self.tiles_per_dev = self.per_dev // self.tile
+        self.tiles_per_chunk = self.batch // self.tile
+
+        if cfg.mesh is not None:
+            from qldpcsim_tpu.parallel.mesh import shard_chunk_fn
+
+            if self.use_osd:
+                raise NotImplementedError(
+                    "mesh + OSD in one pipeline is not wired yet; shard OSD "
+                    "runs at the p-point level or run without a mesh")
+            self._chunk_counts = shard_chunk_fn(cfg.mesh, self._chunk_body)
+        else:
+            self._chunk_counts = jax.jit(self._chunk_body)
+        self._stage1 = jax.jit(self._stage1_body)
+        self._stage2 = jax.jit(self._stage2_body)
+
+    # ---------------- fused fast path (no OSD) ----------------
+
+    def _chunk_body(self, tile_keys, p, n_valid):
+        """One per-device chunk: sample + decode + classify -> int32 counters.
+
+        tile_keys: (tiles_per_dev, 2) uint32, one key per global RNG tile.
+        """
+        err_x, err_z, sy_z, sy_x = sample_shot_tiles(
+            tile_keys, p, self.n, self.tile, self.Hx_T, self.Hz_T)
+        prior = p / 3.0  # reference prior (landmine L3, simulator.py:278-279)
+        res_x = self.dec_x(sy_z, prior)
+        res_z = self.dec_z(sy_x, prior)
+        return self._count(err_x, err_z, res_x.e_hat, res_z.e_hat,
+                           sy_z, sy_x, res_x.n_iter, res_z.n_iter, n_valid)
+
+    def _count(self, err_x, err_z, ex_hat, ez_hat, sy_z, sy_x,
+               it_x, it_z, n_valid):
+        B = err_x.shape[0]
+        valid = jnp.arange(B) < n_valid
+        counts = classify_batch(self.classifier, err_x, err_z, ex_hat, ez_hat,
+                                sy_z, sy_x, valid=valid)
+        counts["nIterAccX"] = jnp.sum(jnp.where(valid, it_x, 0), dtype=jnp.int32)
+        counts["nIterAccZ"] = jnp.sum(jnp.where(valid, it_z, 0), dtype=jnp.int32)
+        return counts
+
+    # ---------------- two-stage path (OSD) ----------------
+
+    def _stage1_body(self, tile_keys, p):
+        err_x, err_z, sy_z, sy_x = sample_shot_tiles(
+            tile_keys, p, self.n, self.tile, self.Hx_T, self.Hz_T)
+        prior = p / 3.0
+        res_x = self.dec_x(sy_z, prior)
+        res_z = self.dec_z(sy_x, prior)
+        return dict(
+            err_x=err_x, err_z=err_z, sy_z=sy_z, sy_x=sy_x,
+            ex_hat=res_x.e_hat, ez_hat=res_z.e_hat,
+            conv_x=res_x.converged, conv_z=res_z.converged,
+            post_x=res_x.posterior, post_z=res_z.posterior,
+            it_x=res_x.n_iter, it_z=res_z.n_iter,
+        )
+
+    @staticmethod
+    def _make_osd_apply(osd):
+        def apply(e_hat, syn, post, idx, valid):
+            e_sel = osd(e_hat[idx], syn[idx], post[idx])
+            e_sel = jnp.where(valid[:, None], e_sel, e_hat[idx])
+            return e_hat.at[idx].set(e_sel)
+        return apply
+
+    def _stage2_body(self, s, n_valid):
+        return self._count(s["err_x"], s["err_z"], s["ex_hat"], s["ez_hat"],
+                           s["sy_z"], s["sy_x"], s["it_x"], s["it_z"], n_valid)
+
+    def _run_osd_side(self, s, side: str):
+        conv = np.asarray(s[f"conv_{side}"])
+        failed = np.nonzero(~conv)[0]
+        if failed.size == 0:
+            return
+        cap = 16
+        while cap < failed.size:
+            cap *= 2
+        cap = min(cap, self.batch)
+        idx = np.zeros(cap, np.int32)
+        idx[: failed.size] = failed
+        valid = np.zeros(cap, bool)
+        valid[: failed.size] = True
+        apply = self._osd_apply_x if side == "x" else self._osd_apply_z
+        ehk = "ex_hat" if side == "x" else "ez_hat"
+        syk = "sy_z" if side == "x" else "sy_x"
+        s[ehk] = apply(s[ehk], s[syk], s[f"post_{side}"], jnp.asarray(idx),
+                       jnp.asarray(valid))
+
+    def run_chunk_with_osd(self, key, p, n_valid):
+        s = self._stage1(key, p)
+        self._run_osd_side(s, "x")
+        self._run_osd_side(s, "z")
+        return self._stage2(s, n_valid)
+
+
+def simulate_p(Hx: np.ndarray, Hz: np.ndarray, p: float,
+               cfg: Optional[SimConfig] = None,
+               pipeline: Optional[ShotPipeline] = None,
+               p_index: int = 0) -> PPointResult:
+    """Monte-Carlo qBLER estimate at one depolarization probability
+    (reference: simulator.simulate_p, simulator.py:167-315)."""
+    cfg = cfg or SimConfig()
+    pipe = pipeline or ShotPipeline(Hx, Hz, cfg)
+    shots = cfg.shots
+    batch = pipe.batch
+    n_chunks = -(-shots // batch)
+
+    seed = cfg.rng_seed if cfg.rng_seed is not None else 0
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), p_index)
+
+    store = CheckpointStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    ckpt_id = f"p{p_index}_{cfg.dec_type}_{cfg.dec_schedule}_{shots}"
+    totals = {k: 0 for k in _COUNTER_KEYS}
+    start_chunk = 0
+    if store is not None:
+        saved = store.load(ckpt_id)
+        if saved is not None:
+            totals, start_chunk = saved
+
+    t0 = time.perf_counter()
+    from qldpcsim_tpu.parallel.mesh import chunk_keys
+
+    for c in range(start_chunk, n_chunks):
+        n_valid = min(batch, shots - c * batch)
+        # Global tile stream: chunk c owns tiles
+        # [c * tiles_per_chunk, (c+1) * tiles_per_chunk).
+        keys = chunk_keys(key, c * pipe.tiles_per_chunk, pipe.tiles_per_chunk)
+        if cfg.mesh is not None:
+            ndev, per_dev = pipe.n_dev, pipe.per_dev
+            keys = keys.reshape(ndev, pipe.tiles_per_dev, -1)
+            base = c * batch
+            nv = np.clip(shots - base - np.arange(ndev) * per_dev, 0, per_dev)
+            counts = pipe._chunk_counts(keys, jnp.float32(p),
+                                        jnp.asarray(nv, jnp.int32))
+        elif pipe.use_osd:
+            counts = pipe.run_chunk_with_osd(keys, jnp.float32(p),
+                                             jnp.int32(n_valid))
+        else:
+            counts = pipe._chunk_counts(keys, jnp.float32(p),
+                                        jnp.int32(n_valid))
+        counts = jax.device_get(counts)
+        for k in _COUNTER_KEYS:
+            totals[k] += int(counts[k])
+        if store is not None:
+            store.save(ckpt_id, totals, c + 1)
+        if cfg.progress:
+            done_shots = min((c + 1) * batch, shots)
+            print(f"\r(p={p:5.2e}) decoded {done_shots}/{shots} shots",
+                  end="", flush=True)
+    elapsed = time.perf_counter() - t0
+    if cfg.progress:
+        print()
+
+    return PPointResult(
+        p=float(p),
+        shots=shots,
+        counters={k: totals[k] for k in _COUNTER_KEYS if not k.startswith("nIter")},
+        avg_iterations_x=totals["nIterAccX"] / float(shots),
+        avg_iterations_z=totals["nIterAccZ"] / float(shots),
+        wall_time_s=elapsed,
+    )
+
+
+def simulate(HxFile: str, HzFile: str, p: Sequence[float],
+             shots: int = 1000, decType: str = "MS", decIterations: int = 99,
+             decSchedule: str = "F", OSDorder: int = -1,
+             rngSeed: Optional[int] = None, **kwargs) -> List[PPointResult]:
+    """p-sweep driver with the reference's signature and results table
+    (reference: simulator.simulate, simulator.py:319-347)."""
+    from qldpcsim_tpu.codes.loader import load_matrix
+
+    Hx = load_matrix(HxFile)
+    Hz = load_matrix(HzFile)
+    p = np.asarray(p, dtype=np.float64)
+    assert p.max() <= 1.0 and p.min() >= 0.0
+
+    cfg = SimConfig(shots=shots, dec_type=decType, dec_iterations=decIterations,
+                    dec_schedule=decSchedule, osd_order=OSDorder,
+                    rng_seed=rngSeed, **kwargs)
+    pipe = ShotPipeline(Hx, Hz, cfg)
+    results = [simulate_p(Hx, Hz, pT, cfg, pipeline=pipe, p_index=i)
+               for i, pT in enumerate(p)]
+    print(format_results_table(results))
+    return results

@@ -1,0 +1,73 @@
+"""Result containers and the reference-style results table
+(reference: simulator.py:342-347)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, List
+
+
+@dataclasses.dataclass
+class PPointResult:
+    p: float
+    shots: int
+    counters: Dict[str, int]
+    avg_iterations_x: float
+    avg_iterations_z: float
+    wall_time_s: float = 0.0
+
+    @property
+    def qbler(self) -> float:
+        """Reference qBLER: 1 - (exact + degen)/shots (simulator.py:347)."""
+        c = self.counters
+        return 1.0 - (c["decSuccessExact"] + c["decSuccessDegen"]) / self.shots
+
+    @property
+    def qbler_honest(self) -> float:
+        """Stabilizer-aware qBLER: 1 - successStabilizer/shots (counts
+        degenerate corrections as successes — the physics answer)."""
+        return 1.0 - self.counters["successStabilizer"] / self.shots
+
+    @property
+    def shots_per_s(self) -> float:
+        return self.shots / self.wall_time_s if self.wall_time_s else float("nan")
+
+    def to_dict(self) -> dict:
+        return {
+            "p": self.p,
+            "shots": self.shots,
+            **self.counters,
+            "Avg_number_of_iterations_X": self.avg_iterations_x,
+            "Avg_number_of_iterations_Z": self.avg_iterations_z,
+            "qBLER": self.qbler,
+            "qBLER_honest": self.qbler_honest,
+            "wall_time_s": self.wall_time_s,
+            "shots_per_s": self.shots_per_s,
+        }
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict())
+
+
+def format_results_table(results: List[PPointResult]) -> str:
+    """ASCII table mirroring the reference's layout (simulator.py:342-347)
+    with an extra honest-qBLER column."""
+    lines = [
+        "",
+        "                             ===          SIMULATION RESULTS          ===",
+        "",
+        "   Depolarizing probability | qBlock error rate | qBLER (stab-aware) | "
+        "Decoding failures (X,Z) | Average iterations (X,Z)",
+        "----------------------------+-------------------+--------------------+"
+        "-------------------------+---------------------------",
+    ]
+    for r in results:
+        c = r.counters
+        lines.append(
+            f"         {r.p:10.2e}         |     {r.qbler:7.2e}      |"
+            f"     {r.qbler_honest:7.2e}       |"
+            f"       {c['DecFailures_X']:5},{c['DecFailures_Z']:5}       |"
+            f"      {r.avg_iterations_x:5.2f}, {r.avg_iterations_z:5.2f}"
+        )
+    return "\n".join(lines)

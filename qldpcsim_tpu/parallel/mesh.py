@@ -56,7 +56,7 @@ def shard_chunk_fn(mesh: Mesh, chunk_fn: Callable, axis: str = "shots"):
     runs one chunk per device, and psums the counter dict over the mesh so
     every process sees the global counts.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def per_device(keys, p, n_valids):
         counts = chunk_fn(keys[0], p, n_valids[0])
@@ -67,6 +67,6 @@ def shard_chunk_fn(mesh: Mesh, chunk_fn: Callable, axis: str = "shots"):
         mesh=mesh,
         in_specs=(P(axis), P(), P(axis)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

