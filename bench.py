@@ -1,0 +1,115 @@
+"""Flagship benchmark: decoded shots/s/chip on the BASELINE.json headline
+config — LP118 lifted-product code, normalized min-sum, layered schedule,
+50 iterations (full pipeline: native channel sample + MS decode of X and Z
+components + classification counters, all on device).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "shots/s", "vs_baseline": N}
+
+vs_baseline: ratio against the reference CPU simulator's throughput. The
+reference itself (qLDPCsim + stim) is not installable in this image, so the
+baseline is a measured proxy: the per-shot NumPy oracle decoder
+(tests/oracle.py) which implements the reference's exact MS semantics with
+the same dense-NumPy inner loop structure; its measured shots/s on this
+host's CPU is cached in BENCH_CPU_BASELINE.json (delete to re-measure).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CODE = "lp118_0"
+P_POINT = 0.05
+MAX_ITER = 50
+SCHEDULE = "L"
+BATCH = 4096
+BENCH_CHUNKS = 8
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_CPU_BASELINE.json")
+
+
+def measure_tpu_shots_per_s():
+    import jax
+    import jax.numpy as jnp
+
+    from qldpcsim_tpu.codes import get_code
+    from qldpcsim_tpu.engine.montecarlo import ShotPipeline, SimConfig
+    from qldpcsim_tpu.parallel.mesh import chunk_keys
+
+    code = get_code(CODE)
+    cfg = SimConfig(shots=BATCH * BENCH_CHUNKS, dec_type="MS",
+                    dec_iterations=MAX_ITER, dec_schedule=SCHEDULE,
+                    batch_size=BATCH, rng_seed=0)
+    pipe = ShotPipeline(code.Hx, code.Hz, cfg)
+    step = pipe._chunk_counts  # jitted chunk: sample+decode+classify
+    p = jnp.float32(P_POINT)
+    nv = jnp.int32(BATCH)
+    key = jax.random.PRNGKey(0)
+
+    # Warmup/compile.
+    keys0 = chunk_keys(key, 0, pipe.tiles_per_chunk)
+    out = step(keys0, p, nv)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    outs = []
+    for c in range(1, BENCH_CHUNKS + 1):
+        keys = chunk_keys(key, c * pipe.tiles_per_chunk, pipe.tiles_per_chunk)
+        outs.append(step(keys, p, nv))
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    shots = BATCH * BENCH_CHUNKS
+    return shots / dt, dt
+
+
+def measure_cpu_baseline(n_shots=12):
+    """Reference-equivalent per-shot CPU decode throughput (cached)."""
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)["shots_per_s"]
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import oracle
+    from qldpcsim_tpu.codes import get_code
+    from qldpcsim_tpu.decoders import layerize
+
+    code = get_code(CODE)
+    Hx, Hz = np.asarray(code.Hx), np.asarray(code.Hz)
+    rng = np.random.default_rng(0)
+    n = Hx.shape[1]
+    u = rng.random((n_shots, n))
+    err_x = u < 2 * P_POINT / 3
+    err_z = (u >= P_POINT / 3) & (u < P_POINT)
+    sy_z = (err_x.astype(np.int64) @ Hz.T.astype(np.int64)) % 2
+    sy_x = (err_z.astype(np.int64) @ Hx.T.astype(np.int64)) % 2
+    layers_z = layerize(Hz)
+    layers_x = layerize(Hx)
+
+    t0 = time.perf_counter()
+    for s in range(n_shots):
+        oracle.ms_decode(Hz, sy_z[s], P_POINT / 3, MAX_ITER, layers_z)
+        oracle.ms_decode(Hx, sy_x[s], P_POINT / 3, MAX_ITER, layers_x)
+    dt = time.perf_counter() - t0
+    sps = n_shots / dt
+    with open(BASELINE_FILE, "w") as f:
+        json.dump({"shots_per_s": sps, "n_shots": n_shots, "host": "bench-cpu",
+                   "config": f"{CODE} MS {SCHEDULE} {MAX_ITER}it p={P_POINT}"}, f)
+    return sps
+
+
+def main():
+    tpu_sps, dt = measure_tpu_shots_per_s()
+    cpu_sps = measure_cpu_baseline()
+    print(json.dumps({
+        "metric": f"decoded_shots_per_s_chip ({CODE}, MS layered, {MAX_ITER} iters, p={P_POINT})",
+        "value": round(tpu_sps, 1),
+        "unit": "shots/s",
+        "vs_baseline": round(tpu_sps / cpu_sps, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
