@@ -49,13 +49,22 @@ def make_decoder(graph, cfg, layers=None):
 
     Mirrors the reference's decoder dispatch (simulator.py:270-284) but
     returns a jit-compatible batched callable
-    decode(syndromes, p) -> DecodeResult.
+    decode(syndromes, p) -> DecodeResult. Iterative decoders (MS/BP) get
+    two-round straggler compaction when the iteration budget is deep
+    (see decoders/tworound.py).
     """
+    from qldpcsim_tpu.decoders.tworound import make_tworound
+
     kind = cfg.dec_type.upper()
-    if kind == "MS":
-        return make_ms_decoder(graph, cfg, layers=layers)
-    if kind == "BP":
-        return make_bp_decoder(graph, cfg, layers=layers)
+    if kind in ("MS", "BP"):
+        factory = make_ms_decoder if kind == "MS" else make_bp_decoder
+        r1 = cfg.round1_iters
+        if r1 == 0:
+            r1 = 12 if cfg.max_iter > 16 else cfg.max_iter
+        if 0 < r1 < cfg.max_iter:
+            return make_tworound(factory, graph, cfg, layers, r1,
+                                 cfg.compact_cap_frac)
+        return factory(graph, cfg, layers=layers)
     if kind == "BF":
         return make_bf_decoder(graph, cfg)
     if kind == "NG":

@@ -190,6 +190,10 @@ class DecoderConfig:
     bf_max_iter: int = 50         # BF default (decoders.py:74)
     layer_compat: bool = False    # True => reproduce cross-wired layers (L1)
     dtype: str = "float32"        # message dtype
+    round1_iters: int = 0         # two-round straggler compaction: first-round
+                                  # iteration cap; 0 = auto (12 when
+                                  # max_iter > 16), -1 = disable
+    compact_cap_frac: float = 0.125  # round-2 capacity as fraction of batch
 
 
 @dataclasses.dataclass
