@@ -53,18 +53,28 @@ def make_decoder(graph, cfg, layers=None):
     two-round straggler compaction when the iteration budget is deep
     (see decoders/tworound.py).
     """
-    from qldpcsim_tpu.decoders.tworound import make_tworound
+    from qldpcsim_tpu.decoders.cascade import make_cascade, make_tworound
+    from qldpcsim_tpu.decoders.ms_mxu import make_ms_mxu_decoder, supports as mxu_supports
+    from qldpcsim_tpu.decoders.common import build_layers as _bl
 
     kind = cfg.dec_type.upper()
     if kind in ("MS", "BP"):
         factory = make_ms_decoder if kind == "MS" else make_bp_decoder
+        if kind == "MS" and cfg.impl in ("auto", "mxu"):
+            eff_layers = layers if layers is not None else _bl(graph.H, cfg.schedule)
+            if mxu_supports(graph, eff_layers):
+                factory = make_ms_mxu_decoder
+                layers = eff_layers
+            elif cfg.impl == "mxu":
+                raise ValueError("mxu MS path requires contiguous layers "
+                                 f"and <=48 of them (got {eff_layers.n_layers})")
         r1 = cfg.round1_iters
-        if r1 == 0:
-            r1 = 12 if cfg.max_iter > 16 else cfg.max_iter
-        if 0 < r1 < cfg.max_iter:
+        if r1 < 0 or cfg.max_iter <= 12:
+            return factory(graph, cfg, layers=layers)
+        if r1 > 0:
             return make_tworound(factory, graph, cfg, layers, r1,
                                  cfg.compact_cap_frac)
-        return factory(graph, cfg, layers=layers)
+        return make_cascade(factory, graph, cfg, layers)
     if kind == "BF":
         return make_bf_decoder(graph, cfg)
     if kind == "NG":

@@ -194,6 +194,9 @@ class DecoderConfig:
                                   # iteration cap; 0 = auto (12 when
                                   # max_iter > 16), -1 = disable
     compact_cap_frac: float = 0.125  # round-2 capacity as fraction of batch
+    impl: str = "auto"            # MS kernel: "auto" | "edge" (bit-exact
+                                  # reference-parity path) | "mxu" (incidence-
+                                  # matmul fast path; fp association differs)
 
 
 @dataclasses.dataclass
