@@ -60,13 +60,15 @@ def make_decoder(graph, cfg, layers=None):
     kind = cfg.dec_type.upper()
     if kind in ("MS", "BP"):
         factory = make_ms_decoder if kind == "MS" else make_bp_decoder
-        if kind == "MS" and cfg.impl in ("auto", "mxu"):
+        if cfg.impl in ("auto", "mxu"):
+            from qldpcsim_tpu.decoders.bp_mxu import make_bp_mxu_decoder
+
             eff_layers = layers if layers is not None else _bl(graph.H, cfg.schedule)
             if mxu_supports(graph, eff_layers):
-                factory = make_ms_mxu_decoder
+                factory = make_ms_mxu_decoder if kind == "MS" else make_bp_mxu_decoder
                 layers = eff_layers
             elif cfg.impl == "mxu":
-                raise ValueError("mxu MS path requires contiguous layers "
+                raise ValueError("mxu path requires contiguous layers "
                                  f"and <=48 of them (got {eff_layers.n_layers})")
         r1 = cfg.round1_iters
         if r1 < 0 or cfg.max_iter <= 12:

@@ -201,7 +201,7 @@ class DecoderConfig:
 
 @dataclasses.dataclass
 class DecodeResult:
-    """Batched decode output (device arrays).
+    """Batched decode output (device arrays; registered as a JAX pytree).
 
     e_hat      — (B, n) int8 estimated error
     n_iter     — (B,) int32 iterations used (reference semantics: first
@@ -214,3 +214,12 @@ class DecodeResult:
     n_iter: object
     converged: object
     posterior: object = None
+
+
+import jax.tree_util as _jtu  # noqa: E402
+
+_jtu.register_pytree_node(
+    DecodeResult,
+    lambda r: ((r.e_hat, r.n_iter, r.converged, r.posterior), None),
+    lambda _, c: DecodeResult(*c),
+)

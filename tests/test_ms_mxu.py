@@ -48,3 +48,24 @@ def test_mxu_rejects_serial_big():
     graph = TannerGraph.build(H)
     layers = build_layers(H, "S")
     assert not supports(graph, layers)
+
+
+@pytest.mark.parametrize("codename,schedule", [("steane", "F"), ("lp04_0", "L")])
+def test_bp_mxu_agrees_with_edge(codename, schedule):
+    from qldpcsim_tpu.decoders.bp import make_bp_decoder
+    from qldpcsim_tpu.decoders.bp_mxu import make_bp_mxu_decoder
+
+    rng = np.random.default_rng(6)
+    H = np.asarray(get_code(codename).Hz)
+    graph = TannerGraph.build(H)
+    layers = build_layers(H, schedule)
+    cfg = DecoderConfig(dec_type="BP", max_iter=12, schedule=schedule)
+    edge = make_bp_decoder(graph, cfg, layers=layers)
+    mxu = make_bp_mxu_decoder(graph, cfg, layers=layers)
+    syn = _syn(rng, H, 64, 0.04)
+    re, rm = edge(syn, 0.02), mxu(syn, 0.02)
+    same = np.asarray(re.converged) == np.asarray(rm.converged)
+    assert same.mean() >= 0.95
+    both = np.asarray(re.converged) & np.asarray(rm.converged)
+    agree = (np.asarray(re.e_hat)[both] == np.asarray(rm.e_hat)[both]).all(axis=1)
+    assert agree.mean() >= 0.95
