@@ -51,7 +51,13 @@ def _eliminate_packed(R: np.ndarray, n: int, T: np.ndarray | None = None,
 
     Returns (pivot_cols, row_count_used). If T is given it receives the same
     row operations (so T tracks the transform with R_out = T @ R_in mod 2).
+    Dispatches to the native C++ core when available.
     """
+    from qldpcsim_tpu.gf2.native import eliminate_native
+
+    piv = eliminate_native(R, n, T, reduced)
+    if piv is not None:
+        return piv, len(piv)
     m = R.shape[0]
     pivots: list[int] = []
     row = 0
@@ -82,11 +88,17 @@ def _eliminate_packed(R: np.ndarray, n: int, T: np.ndarray | None = None,
 
 
 def rank(A: np.ndarray) -> int:
-    """Rank of a binary matrix over GF(2) (reference: gf2math.py:91-135)."""
+    """Rank of a binary matrix over GF(2) (reference: gf2math.py:91-135).
+    Uses the native C++ core (csrc/gf2core.cpp) when built."""
     A = np.asarray(A)
     if A.size == 0:
         return 0
     R = pack_rows(A)
+    from qldpcsim_tpu.gf2.native import rank_native
+
+    r = rank_native(R, A.shape[1])
+    if r is not None:
+        return r
     pivots, _ = _eliminate_packed(R, A.shape[1], reduced=False)
     return len(pivots)
 

@@ -1,0 +1,126 @@
+"""ctypes binding for the native GF(2) core (csrc/gf2core.cpp).
+
+Auto-builds the shared library with g++ on first use when missing (no
+pybind11 in this image — plain C ABI + ctypes per the environment contract).
+All entry points fall back to the NumPy implementations when the toolchain or
+library is unavailable; `QLDPC_NATIVE=0` disables the native path entirely.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "_gf2core.so")
+_SRC = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "csrc", "gf2core.cpp")
+
+
+def _build() -> bool:
+    if not os.path.exists(_SRC):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
+             _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("QLDPC_NATIVE", "1") == "0":
+        return None
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.gf2_eliminate.restype = ctypes.c_int
+    lib.gf2_eliminate.argtypes = [u64p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                  u64p, ctypes.c_int, ctypes.c_int, i32p]
+    lib.gf2_rank.restype = ctypes.c_int
+    lib.gf2_rank.argtypes = [u64p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.ms_decode_cpu.restype = ctypes.c_int
+    lib.ms_decode_cpu.argtypes = [i8p, ctypes.c_int, ctypes.c_int,
+                                  i8p, ctypes.c_int,
+                                  ctypes.c_float, ctypes.c_int, ctypes.c_float,
+                                  i32p, i32p, ctypes.c_int,
+                                  i8p, i32p, i8p]
+    _LIB = lib
+    return _LIB
+
+
+def _u64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _i8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+
+
+def rank_native(packed: np.ndarray, n: int) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    P = np.ascontiguousarray(packed, dtype=np.uint64)
+    return int(lib.gf2_rank(_u64p(P), P.shape[0], n, P.shape[1]))
+
+
+def eliminate_native(packed: np.ndarray, n: int, T: Optional[np.ndarray],
+                     reduced: bool):
+    """In-place elimination on `packed` (and T). Returns pivots or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    m, words = packed.shape
+    pivots = np.full(max(1, min(m, n)), -1, dtype=np.int32)
+    tptr = _u64p(T) if T is not None else ctypes.POINTER(ctypes.c_uint64)()
+    twords = T.shape[1] if T is not None else 0
+    r = lib.gf2_eliminate(_u64p(packed), m, n, words, tptr, twords,
+                          1 if reduced else 0, _i32p(pivots))
+    return [int(p) for p in pivots[:r]]
+
+
+def ms_decode_native(H: np.ndarray, syndromes: np.ndarray, p: float,
+                     max_iter: int, layers, beta: float = 0.75):
+    """Batched reference-semantics CPU MS decode. Returns
+    (e_hat (B,n) int8, n_iter (B,) int32, converged (B,) bool) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    H = np.ascontiguousarray(H, dtype=np.int8)
+    syn = np.ascontiguousarray(syndromes, dtype=np.int8)
+    m, n = H.shape
+    B = syn.shape[0]
+    starts = np.asarray([int(l[0]) if len(l) else 0 for l in layers], np.int32)
+    ends = np.asarray([int(l[-1]) + 1 if len(l) else 0 for l in layers], np.int32)
+    e_out = np.zeros((B, n), np.int8)
+    iters = np.zeros(B, np.int32)
+    conv = np.zeros(B, np.int8)
+    lib.ms_decode_cpu(_i8p(H), m, n, _i8p(syn), B,
+                      ctypes.c_float(p), max_iter, ctypes.c_float(beta),
+                      _i32p(starts), _i32p(ends), len(layers),
+                      _i8p(e_out), _i32p(iters), _i8p(conv))
+    return e_out, iters, conv.astype(bool)
