@@ -75,7 +75,9 @@ def main(argv: Optional[list] = None) -> int:
     print("")
 
     p = np.asarray(args.p, dtype=np.float64)
-    assert p.max() <= 1.0 and p.min() >= 0.0
+    if p.size == 0 or p.min() < 0.0 or p.max() > 1.0:
+        print("error: --p values must lie in [0, 1]", file=sys.stderr)
+        return 2
 
     from qldpcsim_tpu.engine.montecarlo import ShotPipeline, SimConfig, simulate_p
     from qldpcsim_tpu.engine.results import format_results_table

@@ -44,6 +44,14 @@ __all__ = [
 ]
 
 
+# The TPU compiler (Mosaic/XLA) has been observed to SIGSEGV on graphs with
+# very few check rows (Shor Hx is 2x9); zero-degree check rows are
+# mathematically inert in every decoder family here (no edges -> no messages,
+# empty-set mins coerce to 0, padded syndrome bits are trivially satisfied),
+# so tiny matrices are padded up to this many rows before building a decoder.
+_MIN_CHECK_ROWS = 8
+
+
 def make_decoder(graph, cfg, layers=None):
     """Dispatch a batched decoder for `cfg.dec_type` over `graph`.
 
@@ -51,11 +59,32 @@ def make_decoder(graph, cfg, layers=None):
     returns a jit-compatible batched callable
     decode(syndromes, p) -> DecodeResult. Iterative decoders (MS/BP) get
     two-round straggler compaction when the iteration budget is deep
-    (see decoders/tworound.py).
+    (see decoders/cascade.py).
     """
     from qldpcsim_tpu.decoders.cascade import make_cascade, make_tworound
     from qldpcsim_tpu.decoders.ms_mxu import make_ms_mxu_decoder, supports as mxu_supports
     from qldpcsim_tpu.decoders.common import build_layers as _bl
+
+    pad_rows = _MIN_CHECK_ROWS - graph.m
+    if pad_rows > 0:
+        import numpy as _np
+
+        if layers is None and cfg.dec_type.upper() in ("MS", "BP"):
+            # Derive the schedule from the ORIGINAL matrix (reference layer
+            # parity); padded zero rows are no-ops wherever they land.
+            layers = _bl(graph.H, cfg.schedule)
+        H_pad = _np.vstack([graph.H,
+                            _np.zeros((pad_rows, graph.n), graph.H.dtype)])
+        inner = make_decoder(TannerGraph.build(H_pad), cfg, layers=layers)
+
+        def decode_padded(syndromes, p):
+            import jax.numpy as _jnp
+
+            syn = _jnp.asarray(syndromes)
+            syn = _jnp.pad(syn, ((0, 0), (0, pad_rows)))
+            return inner(syn, p)
+
+        return decode_padded
 
     kind = cfg.dec_type.upper()
     if kind in ("MS", "BP"):

@@ -17,10 +17,13 @@ from qldpcsim_tpu.decoders.common import DecodeResult, DecoderConfig, TannerGrap
 
 
 def make_bf_decoder(graph: TannerGraph, cfg: DecoderConfig):
+    import numpy as np
+
     f32 = jnp.float32
-    H = jnp.asarray(graph.H, dtype=f32)           # (m, n)
-    H_T = H.T
-    half_deg = jnp.sum(H, axis=0) * 0.5           # (n,) nChecks/2
+    # Host-side NumPy constants (embedded at trace time; no device touch).
+    H = np.asarray(graph.H, dtype=np.float32)     # (m, n)
+    H_T = np.ascontiguousarray(H.T)
+    half_deg = np.sum(H, axis=0) * 0.5            # (n,) nChecks/2
     max_iter = int(cfg.bf_max_iter)
 
     def decode(syndromes, p=None):

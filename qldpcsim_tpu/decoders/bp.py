@@ -22,6 +22,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from qldpcsim_tpu.decoders.common import (
     DecodeResult,
@@ -43,21 +44,23 @@ def make_bp_decoder(graph: TannerGraph, cfg: DecoderConfig,
 
     m, n, dmax = graph.m, graph.n, graph.dmax
     f32 = jnp.float32
-    layer_rows = jnp.asarray(layers.rows, dtype=jnp.int32)
+    # Host-side NumPy — embedded as program constants at trace time, so the
+    # factory never touches a device.
+    layer_rows = np.asarray(layers.rows, dtype=np.int32)
     n_layers = layers.n_layers
-    row_vars = jnp.asarray(graph.row_vars, dtype=jnp.int32)
-    row_mask = jnp.asarray(graph.row_mask)
-    var_rows = jnp.asarray(graph.var_rows, dtype=jnp.int32)
-    var_slots = jnp.asarray(graph.var_slots, dtype=jnp.int32)
-    var_mask = jnp.asarray(graph.var_mask)
-    H_T = jnp.asarray(graph.H.T, dtype=f32)
+    row_vars = np.asarray(graph.row_vars, dtype=np.int32)
+    row_mask = np.asarray(graph.row_mask)
+    var_rows = np.asarray(graph.var_rows, dtype=np.int32)
+    var_slots = np.asarray(graph.var_slots, dtype=np.int32)
+    var_mask = np.asarray(graph.var_mask)
+    H_T = np.asarray(graph.H.T, dtype=np.float32)
     max_iter = int(cfg.max_iter)
     clamp = f32(1.0 - cfg.eps)
 
     def _layer(l, state, syn_f, L0, it):
         msg_v2c, msg_c2v, done, e_lat, it_lat, posterior = state
-        rows = layer_rows[l]
-        rmask = row_mask[rows]
+        rows = jnp.asarray(layer_rows)[l]
+        rmask = jnp.asarray(row_mask)[rows]
 
         # ---- check-node update (tanh product, extrinsic) ----
         mv = msg_v2c[:, rows, :]

@@ -52,11 +52,12 @@ def make_bp_mxu_decoder(graph: TannerGraph, cfg: DecoderConfig,
         flat_rv = rv.reshape(-1)
         idx = np.nonzero(rm.reshape(-1))[0]
         Ai[idx, flat_rv[idx]] = 1.0
-        A.append(jnp.asarray(Ai))
-        A_T.append(jnp.asarray(Ai.T))
-        masks.append(jnp.asarray(rm))
+        # Host-side NumPy — embedded as program constants at trace time.
+        A.append(Ai)
+        A_T.append(np.ascontiguousarray(Ai.T))
+        masks.append(np.asarray(rm))
 
-    H_T_bf = jnp.asarray(graph.H.T, dtype=bf16)
+    H_T_f = np.asarray(graph.H.T, dtype=np.float32)
 
     def decode(syndromes, p):
         B = syndromes.shape[0]
@@ -91,7 +92,7 @@ def make_bp_mxu_decoder(graph: TannerGraph, cfg: DecoderConfig,
             c2v = jax.lax.dynamic_update_slice(c2v, new_c2v, (0, s, 0))
 
             e_hat = posterior < 0.0
-            syn_est = jnp.mod(jnp.dot(e_hat.astype(bf16), H_T_bf,
+            syn_est = jnp.mod(jnp.dot(e_hat.astype(bf16), jnp.asarray(H_T_f, bf16),
                                       preferred_element_type=f32), 2.0)
             ok = jnp.all(syn_est == syn_f, axis=-1)
             newly = ok & (~done)

@@ -48,22 +48,25 @@ def make_ms_decoder(graph: TannerGraph, cfg: DecoderConfig,
 
     m, n, dmax = graph.m, graph.n, graph.dmax
     f32 = jnp.float32
-    layer_rows = jnp.asarray(layers.rows, dtype=jnp.int32)       # (L, maxL)
+    # Static structure stays host-side NumPy: it is embedded as program
+    # constants at trace time, so the factory never touches a device (and the
+    # decoder works under any jax.default_device).
+    layer_rows = np.asarray(layers.rows, dtype=np.int32)         # (L, maxL)
     n_layers = layers.n_layers
-    row_vars = jnp.asarray(graph.row_vars, dtype=jnp.int32)      # (m+1, dmax)
-    row_mask = jnp.asarray(graph.row_mask)                       # (m+1, dmax)
-    var_rows = jnp.asarray(graph.var_rows, dtype=jnp.int32)      # (n, cmax)
-    var_slots = jnp.asarray(graph.var_slots, dtype=jnp.int32)
-    var_mask = jnp.asarray(graph.var_mask)
-    H_T = jnp.asarray(graph.H.T, dtype=f32)                      # (n, m)
+    row_vars = np.asarray(graph.row_vars, dtype=np.int32)        # (m+1, dmax)
+    row_mask = np.asarray(graph.row_mask)                        # (m+1, dmax)
+    var_rows = np.asarray(graph.var_rows, dtype=np.int32)        # (n, cmax)
+    var_slots = np.asarray(graph.var_slots, dtype=np.int32)
+    var_mask = np.asarray(graph.var_mask)
+    H_T = np.asarray(graph.H.T, dtype=np.float32)                # (n, m)
     beta = f32(cfg.beta)
     max_iter = int(cfg.max_iter)
-    iota_d = jnp.arange(dmax, dtype=jnp.int32)
+    iota_d = np.arange(dmax, dtype=np.int32)
 
     def _cn_vn_layer(l, state, syn_f, syn_sign_pad, L_ch, it):
         msg_v2c, msg_c2v, done, e_lat, it_lat, posterior = state
-        rows = layer_rows[l]                                     # (maxL,)
-        rmask = row_mask[rows]                                   # (maxL, dmax)
+        rows = jnp.asarray(layer_rows)[l]                        # (maxL,)
+        rmask = jnp.asarray(row_mask)[rows]                      # (maxL, dmax)
 
         # ---- check-node update on this layer's rows ----
         mv = msg_v2c[:, rows, :]                                 # (B, maxL, dmax)

@@ -83,6 +83,8 @@ def make_ms_mxu_decoder(graph: TannerGraph, cfg: DecoderConfig,
     max_iter = int(cfg.max_iter)
 
     # Per-layer constants: incidence A_l ((e-s)*dmax, n) and slot masks.
+    # Host-side NumPy — embedded as program constants at trace time, so the
+    # factory never touches a device.
     A_T = []          # (n, E_l) f32 — maps posterior -> layer edge slots
     A = []            # (E_l, n) f32 — maps edge deltas -> variables
     masks = []        # (e-s, dmax) bool
@@ -95,12 +97,12 @@ def make_ms_mxu_decoder(graph: TannerGraph, cfg: DecoderConfig,
         flat_rm = rm.reshape(-1)
         idx = np.nonzero(flat_rm)[0]
         Ai[idx, flat_rv[idx]] = 1.0
-        A.append(jnp.asarray(Ai))
-        A_T.append(jnp.asarray(Ai.T))
-        masks.append(jnp.asarray(rm))
+        A.append(Ai)
+        A_T.append(np.ascontiguousarray(Ai.T))
+        masks.append(np.asarray(rm))
 
-    H_T_bf = jnp.asarray(graph.H.T, dtype=bf16)  # (n, m) — exact for 0/1
-    iota_d = jnp.arange(dmax, dtype=jnp.int32)
+    H_T_f = np.asarray(graph.H.T, dtype=np.float32)  # cast to bf16 at trace
+    iota_d = np.arange(dmax, dtype=np.int32)
 
     def decode(syndromes, p):
         B = syndromes.shape[0]
@@ -143,7 +145,7 @@ def make_ms_mxu_decoder(graph: TannerGraph, cfg: DecoderConfig,
 
             # ---- per-layer early exit (exact bf16 integer matmul) ----
             e_hat = posterior < 0.0
-            syn_est = jnp.dot(e_hat.astype(bf16), H_T_bf,
+            syn_est = jnp.dot(e_hat.astype(bf16), jnp.asarray(H_T_f, bf16),
                               preferred_element_type=f32)
             syn_est = jnp.mod(syn_est, 2.0)
             ok = jnp.all(syn_est == syn_f, axis=-1)

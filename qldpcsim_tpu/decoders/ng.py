@@ -17,12 +17,15 @@ from qldpcsim_tpu.decoders.common import DecodeResult, DecoderConfig, TannerGrap
 
 
 def make_ng_decoder(graph: TannerGraph, cfg: DecoderConfig):
+    import numpy as np
+
     f32 = jnp.float32
     n = graph.n
-    H = jnp.asarray(graph.H, dtype=f32)            # (m, n)
-    H_T_bool = jnp.asarray(graph.H.T != 0)         # (n, m)
+    # Host-side NumPy constants (embedded at trace time; no device touch).
+    H = np.asarray(graph.H, dtype=np.float32)      # (m, n)
+    H_T_bool = np.ascontiguousarray(graph.H.T != 0)  # (n, m)
     max_steps = 2 * n
-    iota_n = jnp.arange(n, dtype=jnp.int32)
+    iota_n = np.arange(n, dtype=np.int32)
 
     def decode(syndromes, p=None):
         B = syndromes.shape[0]
@@ -46,7 +49,7 @@ def make_ng_decoder(graph: TannerGraph, cfg: DecoderConfig):
             do_flip = act & (~dead)
             onehot = iota_n[None, :] == v[:, None]
             est = jnp.logical_xor(est, onehot & do_flip[:, None])
-            col = H_T_bool[v]                        # (B, m)
+            col = jnp.asarray(H_T_bool)[v]           # (B, m)
             res = jnp.logical_xor(res, col & do_flip[:, None])
             return est, res, steps, broken | dead
 

@@ -105,11 +105,12 @@ def make_osd(H: np.ndarray, order: int):
     """
     st = OSDStatic.build(H)
     m, n, r, mW, rW = st.m, st.n, st.r, st.mW, st.rW
-    cols_packed = jnp.asarray(st.cols_packed)  # (n, mW)
-    H_T_f32 = jnp.asarray((np.asarray(H) % 2).T, dtype=jnp.float32)  # (n, m)
+    # Host-side NumPy constants (embedded at trace time; no device touch).
+    cols_packed = st.cols_packed               # (n, mW) np.uint32
+    H_T_f32 = np.ascontiguousarray((np.asarray(H) % 2).T).astype(np.float32)
     order = int(order)
     assert order >= 0
-    iota_r = jnp.arange(r, dtype=jnp.int32)
+    iota_r = np.arange(r, dtype=np.int32)
 
     def _eliminate(colsP):
         """Per-batch elimination over permuted packed columns.
@@ -183,7 +184,7 @@ def make_osd(H: np.ndarray, order: int):
         perm = jnp.argsort(reliability, axis=-1).astype(jnp.int32)  # (B, n)
 
         # 2. least-reliable basis via one elimination sweep
-        colsP = cols_packed[perm]                                   # (B, n, mW)
+        colsP = jnp.asarray(cols_packed)[perm]                      # (B, n, mW)
         basis, tags, pivots, sel = _eliminate(colsP)
         pivots_valid = pivots >= 0
 

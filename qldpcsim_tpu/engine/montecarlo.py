@@ -70,6 +70,10 @@ class SimConfig:
     mesh: object = None           # jax.sharding.Mesh over a 'shots' axis
     checkpoint_dir: Optional[str] = None
     progress: bool = False
+    device: str = "auto"          # "auto" | "default" | "cpu": "auto" routes
+                                  # tiny codes (n < TINY_CODE_N) to the CPU
+                                  # backend — the TPU compiler segfaults on
+                                  # tiny decode graphs (DIVERGENCES.md)
 
     def decoder_config(self) -> DecoderConfig:
         return DecoderConfig(
@@ -79,6 +83,28 @@ class SimConfig:
             osd_order=self.osd_order,
             layer_compat=self.layer_compat,
         )
+
+
+# Codes with fewer variables than this run on the CPU backend under
+# device="auto" when the session default is a TPU: the TPU (Mosaic/XLA)
+# compiler has been observed to SIGSEGV on tiny decode graphs, and tiny codes
+# are latency- not throughput-bound anyway.
+TINY_CODE_N = 64
+
+
+def _resolve_exec_device(cfg: SimConfig, n: int):
+    """Execution device override for the pipeline, or None for the default."""
+    if cfg.mesh is not None or cfg.device == "default":
+        return None
+    want_cpu = cfg.device == "cpu"
+    if cfg.device == "auto" and n < TINY_CODE_N:
+        plats = (jax.config.jax_platforms or "").lower()
+        want_cpu = ("tpu" in plats or "axon" in plats)
+    if not want_cpu:
+        return None
+    from qldpcsim_tpu.parallel.mesh import cpu_fallback_device
+
+    return cpu_fallback_device()
 
 
 def _auto_batch(n: int, shots: int, n_dev: int) -> int:
@@ -124,8 +150,10 @@ class ShotPipeline:
         self.dec_x = make_decoder(graph_x, dcfg, layers=layers_x)
         self.dec_z = make_decoder(graph_z, dcfg, layers=layers_z)
         self.classifier = ClassifierStatic.build(self.Hx, self.Hz)
-        self.Hx_T = jnp.asarray(self.Hx.T, jnp.float32)
-        self.Hz_T = jnp.asarray(self.Hz.T, jnp.float32)
+        # Host-side NumPy (embedded as trace-time constants; keeps pipeline
+        # construction device-free and backend-agnostic).
+        self.Hx_T = np.ascontiguousarray(self.Hx.T).astype(np.float32)
+        self.Hz_T = np.ascontiguousarray(self.Hz.T).astype(np.float32)
 
         self.use_osd = cfg.osd_order >= 0 and dcfg.dec_type.upper() in ("MS", "BP")
         if self.use_osd:
@@ -134,6 +162,7 @@ class ShotPipeline:
             self._osd_apply_x = jax.jit(self._make_osd_apply(self.osd_x))
             self._osd_apply_z = jax.jit(self._make_osd_apply(self.osd_z))
 
+        self.exec_device = _resolve_exec_device(cfg, self.n)
         n_dev = cfg.mesh.devices.size if cfg.mesh is not None else 1
         self.batch = cfg.batch_size or _auto_batch(self.n, cfg.shots, n_dev)
         if self.batch % n_dev:
@@ -157,6 +186,15 @@ class ShotPipeline:
             self._chunk_counts = jax.jit(self._chunk_body)
         self._stage1 = jax.jit(self._stage1_body)
         self._stage2 = jax.jit(self._stage2_body)
+
+    def device_ctx(self):
+        """Context manager pinning execution to this pipeline's device
+        (no-op when running on the session default)."""
+        if self.exec_device is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        return jax.default_device(self.exec_device)
 
     # ---------------- fused fast path (no OSD) ----------------
 
@@ -250,7 +288,11 @@ def simulate_p(Hx: np.ndarray, Hz: np.ndarray, p: float,
     n_chunks = -(-shots // batch)
 
     seed = cfg.rng_seed if cfg.rng_seed is not None else 0
-    key = jax.random.fold_in(jax.random.PRNGKey(seed), p_index)
+    with pipe.device_ctx():
+        # Key derivation must also honor the pipeline's execution device —
+        # otherwise the CPU-fallback path would still touch the default
+        # (TPU) backend just to fold the seed.
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), p_index)
 
     store = CheckpointStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
     ckpt_id = f"p{p_index}_{cfg.dec_type}_{cfg.dec_schedule}_{shots}"
@@ -266,22 +308,25 @@ def simulate_p(Hx: np.ndarray, Hz: np.ndarray, p: float,
 
     for c in range(start_chunk, n_chunks):
         n_valid = min(batch, shots - c * batch)
-        # Global tile stream: chunk c owns tiles
-        # [c * tiles_per_chunk, (c+1) * tiles_per_chunk).
-        keys = chunk_keys(key, c * pipe.tiles_per_chunk, pipe.tiles_per_chunk)
-        if cfg.mesh is not None:
-            ndev, per_dev = pipe.n_dev, pipe.per_dev
-            keys = keys.reshape(ndev, pipe.tiles_per_dev, -1)
-            base = c * batch
-            nv = np.clip(shots - base - np.arange(ndev) * per_dev, 0, per_dev)
-            counts = pipe._chunk_counts(keys, jnp.float32(p),
-                                        jnp.asarray(nv, jnp.int32))
-        elif pipe.use_osd:
-            counts = pipe.run_chunk_with_osd(keys, jnp.float32(p),
-                                             jnp.int32(n_valid))
-        else:
-            counts = pipe._chunk_counts(keys, jnp.float32(p),
-                                        jnp.int32(n_valid))
+        with pipe.device_ctx():
+            # Global tile stream: chunk c owns tiles
+            # [c * tiles_per_chunk, (c+1) * tiles_per_chunk).
+            keys = chunk_keys(key, c * pipe.tiles_per_chunk,
+                              pipe.tiles_per_chunk)
+            if cfg.mesh is not None:
+                ndev, per_dev = pipe.n_dev, pipe.per_dev
+                keys = keys.reshape(ndev, pipe.tiles_per_dev, -1)
+                base = c * batch
+                nv = np.clip(shots - base - np.arange(ndev) * per_dev,
+                             0, per_dev)
+                counts = pipe._chunk_counts(keys, jnp.float32(p),
+                                            jnp.asarray(nv, jnp.int32))
+            elif pipe.use_osd:
+                counts = pipe.run_chunk_with_osd(keys, jnp.float32(p),
+                                                 jnp.int32(n_valid))
+            else:
+                counts = pipe._chunk_counts(keys, jnp.float32(p),
+                                            jnp.int32(n_valid))
         counts = jax.device_get(counts)
         for k in _COUNTER_KEYS:
             totals[k] += int(counts[k])

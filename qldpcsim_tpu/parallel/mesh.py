@@ -23,6 +23,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def cpu_fallback_device():
+    """Return a CPU device, enabling the cpu platform alongside the session's
+    default if needed (this environment pins JAX_PLATFORMS to the TPU plugin).
+
+    Used for codes too small for the TPU compiler: Mosaic/XLA has been
+    observed to SIGSEGV compiling decode graphs over tiny parity-check
+    matrices (Shor's 2x9 Hx), and a wedged remote compiler takes the whole
+    TPU service down. Returns None if no CPU platform can be initialized.
+    """
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        pass
+    try:
+        plats = jax.config.jax_platforms or ""
+        if "cpu" not in plats.split(","):
+            jax.config.update("jax_platforms", (plats + ",cpu").strip(","))
+        return jax.devices("cpu")[0]
+    except Exception:
+        return None
+
+
 def multihost_init():
     """Initialize jax.distributed when running under a multi-host launcher.
 
