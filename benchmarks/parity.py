@@ -28,6 +28,11 @@ import time
 
 import numpy as np
 
+if os.environ.get("QLDPC_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["QLDPC_PLATFORM"])
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", "tests"))
 

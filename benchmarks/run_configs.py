@@ -15,10 +15,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+if os.environ.get("QLDPC_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["QLDPC_PLATFORM"])
 
 
 def run_config(name, code_name, p_list, shots, dec_type, iters, schedule,
@@ -46,6 +52,7 @@ def run_config(name, code_name, p_list, shots, dec_type, iters, schedule,
             "avg_iters_Z": round(r.avg_iterations_z, 3),
             "shots_per_s": round(r.shots_per_s, 1),
         })
+        print(json.dumps(rows[-1]), flush=True)  # incremental progress
     return rows
 
 
@@ -53,35 +60,39 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--shots-scale", type=float, default=1.0,
                     help="scale factor on shot counts (quick runs)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated config name prefixes to run "
+                         "(e.g. '1,3' or '5_lp118')")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
     s = args.shots_scale
 
+    specs = [
+        # 1. Shor, BP flooding (BASELINE config 1)
+        ("1_shor_bp_flood", "shor", [0.01, 0.05], int(1000 * s), "BP", 99, "F", -1),
+        # 2. Steane, NMS layered 50 it (config 2)
+        ("2_steane_nms_layered", "steane", [0.01, 0.03, 0.05], int(20000 * s), "MS", 50, "L", -1),
+        # 3. Bicycle, BF + NG flooding (config 3)
+        ("3_bicycle_bf", "bicycle", [0.01, 0.03], int(5000 * s), "BF", 50, "F", -1),
+        ("3_bicycle_ng", "bicycle", [0.01, 0.03], int(5000 * s), "NG", 0, "F", -1),
+        # 4. Tanner, MS serial, p-sweep (config 4)
+        ("4_tanner_ms_serial", "tanner",
+         list(np.round(np.linspace(0.01, 0.1, 4), 3)), int(2000 * s), "MS", 30, "S", -1),
+        # 5. LP04/LP118, BP + OSD-2, 1e5 shots (config 5)
+        ("5_lp04_bp_osd2", "lp04_0", [0.03], int(100000 * s), "BP", 30, "F", 2),
+        ("5_lp118_bp_osd2", "lp118_0", [0.03], int(100000 * s), "BP", 30, "F", 2),
+    ]
+    if args.only:
+        prefixes = tuple(x.strip() for x in args.only.split(","))
+        specs = [sp for sp in specs if sp[0].startswith(prefixes)]
+
     t0 = time.time()
     rows = []
-    # 1. Shor, BP flooding (BASELINE config 1)
-    rows += run_config("1_shor_bp_flood", "shor", [0.01, 0.05],
-                       int(1000 * s), "BP", 99, "F")
-    # 2. Steane, NMS layered 50 it (config 2)
-    rows += run_config("2_steane_nms_layered", "steane", [0.01, 0.03, 0.05],
-                       int(20000 * s), "MS", 50, "L")
-    # 3. Bicycle, BF + NG flooding (config 3)
-    rows += run_config("3_bicycle_bf", "bicycle", [0.01, 0.03],
-                       int(5000 * s), "BF", 50, "F")
-    rows += run_config("3_bicycle_ng", "bicycle", [0.01, 0.03],
-                       int(5000 * s), "NG", 0, "F")
-    # 4. Tanner, MS serial, p-sweep (config 4)
-    rows += run_config("4_tanner_ms_serial", "tanner",
-                       list(np.round(np.linspace(0.01, 0.1, 4), 3)),
-                       int(2000 * s), "MS", 30, "S")
-    # 5. LP04/LP118, BP + OSD-2, 1e5 shots (config 5)
-    rows += run_config("5_lp04_bp_osd2", "lp04_0", [0.03],
-                       int(100000 * s), "BP", 30, "F", osd_order=2)
-    rows += run_config("5_lp118_bp_osd2", "lp118_0", [0.03],
-                       int(100000 * s), "BP", 30, "F", osd_order=2)
+    for (name, code, p_list, shots, dec, iters, sched, osd) in specs:
+        rows += run_config(name, code, p_list, shots, dec, iters, sched,
+                           osd_order=osd)
 
     out = "\n".join(json.dumps(r) for r in rows)
-    print(out)
     print(f"# total wall time: {time.time()-t0:.1f}s", file=sys.stderr)
     if args.out:
         with open(args.out, "w") as f:

@@ -55,6 +55,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[list] = None) -> int:
+    import os
+
+    # QLDPC_PLATFORM=cpu forces a CPU-only JAX process (must be applied
+    # before any backend initializes; JAX_PLATFORMS alone is overridden by
+    # TPU-plugin registration in some environments).
+    plat = os.environ.get("QLDPC_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     args = build_parser().parse_args(argv)
 
     if args.code:

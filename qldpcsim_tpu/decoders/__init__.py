@@ -89,16 +89,28 @@ def make_decoder(graph, cfg, layers=None):
     kind = cfg.dec_type.upper()
     if kind in ("MS", "BP"):
         factory = make_ms_decoder if kind == "MS" else make_bp_decoder
-        if cfg.impl in ("auto", "mxu"):
+        if cfg.impl in ("auto", "mxu", "seq"):
             from qldpcsim_tpu.decoders.bp_mxu import make_bp_mxu_decoder
+            from qldpcsim_tpu.decoders import sequential as _seq
 
             eff_layers = layers if layers is not None else _bl(graph.H, cfg.schedule)
-            if mxu_supports(graph, eff_layers):
+            # Row-sequential path for serial schedules (1-row layers): the
+            # incremental-syndrome formulation beats both edge and mxu once
+            # there are many layers.
+            if _seq.supports(eff_layers) and (
+                    cfg.impl == "seq" or eff_layers.n_layers > 8):
+                factory = (_seq.make_ms_seq_decoder if kind == "MS"
+                           else _seq.make_bp_seq_decoder)
+                layers = eff_layers
+            elif mxu_supports(graph, eff_layers):
                 factory = make_ms_mxu_decoder if kind == "MS" else make_bp_mxu_decoder
                 layers = eff_layers
             elif cfg.impl == "mxu":
                 raise ValueError("mxu path requires contiguous layers "
                                  f"and <=48 of them (got {eff_layers.n_layers})")
+            elif cfg.impl == "seq":
+                raise ValueError("seq path requires a serial (1-row-layer) "
+                                 "schedule")
         r1 = cfg.round1_iters
         if r1 < 0 or cfg.max_iter <= 12:
             return factory(graph, cfg, layers=layers)

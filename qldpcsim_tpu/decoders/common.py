@@ -135,7 +135,10 @@ class LayerSchedule:
         layers = [np.asarray(l, dtype=np.int32) for l in layers]
         if not layers:
             layers = [np.zeros((0,), dtype=np.int32)]
-        max_layer = max(1, max(l.size for l in layers))
+        # Floor of 8 slots: dummy-row padding is free (row m has no edges)
+        # and keeps serial schedules (1-row layers) off degenerate tiny
+        # shapes the TPU compiler handles poorly.
+        max_layer = max(8, max(l.size for l in layers))
         rows = np.full((len(layers), max_layer), m, dtype=np.int32)
         sizes = np.zeros((len(layers),), dtype=np.int32)
         for li, l in enumerate(layers):

@@ -85,19 +85,24 @@ class SimConfig:
         )
 
 
-# Codes with fewer variables than this run on the CPU backend under
-# device="auto" when the session default is a TPU: the TPU (Mosaic/XLA)
-# compiler has been observed to SIGSEGV on tiny decode graphs, and tiny codes
-# are latency- not throughput-bound anyway.
-TINY_CODE_N = 64
+# Codes whose parity-check matrices have any dimension smaller than this run
+# on the CPU backend under device="auto" when the session default is a TPU:
+# the TPU (Mosaic/XLA) compiler has been observed to SIGSEGV on decode graphs
+# over small matrices (observed on Shor 2x9; small-dim compiles are routed
+# away wholesale because a compiler segfault wedges the TPU service for tens
+# of minutes). Sub-128-dim codes are latency- not throughput-bound anyway.
+TINY_CODE_DIM = 128
 
 
-def _resolve_exec_device(cfg: SimConfig, n: int):
-    """Execution device override for the pipeline, or None for the default."""
+def _resolve_exec_device(cfg: SimConfig, min_dim: int):
+    """Execution device override for the pipeline, or None for the default.
+
+    min_dim: smallest of (n, Hx rows, Hz rows) for the code being decoded.
+    """
     if cfg.mesh is not None or cfg.device == "default":
         return None
     want_cpu = cfg.device == "cpu"
-    if cfg.device == "auto" and n < TINY_CODE_N:
+    if cfg.device == "auto" and min_dim < TINY_CODE_DIM:
         plats = (jax.config.jax_platforms or "").lower()
         want_cpu = ("tpu" in plats or "axon" in plats)
     if not want_cpu:
@@ -162,7 +167,8 @@ class ShotPipeline:
             self._osd_apply_x = jax.jit(self._make_osd_apply(self.osd_x))
             self._osd_apply_z = jax.jit(self._make_osd_apply(self.osd_z))
 
-        self.exec_device = _resolve_exec_device(cfg, self.n)
+        self.exec_device = _resolve_exec_device(
+            cfg, min(self.n, self.Hx.shape[0], self.Hz.shape[0]))
         n_dev = cfg.mesh.devices.size if cfg.mesh is not None else 1
         self.batch = cfg.batch_size or _auto_batch(self.n, cfg.shots, n_dev)
         if self.batch % n_dev:
