@@ -14,6 +14,7 @@ the same dense-NumPy inner loop structure; its measured shots/s on this
 host's CPU is cached in BENCH_CPU_BASELINE.json (delete to re-measure).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -27,6 +28,15 @@ MAX_ITER = 50
 SCHEDULE = "L"
 BATCH = 4096
 BENCH_CHUNKS = 8
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--impl", default="auto",
+                 help="decoder impl: auto|edge|mxu|seq|qc")
+_ap.add_argument("--batch", type=int, default=BATCH)
+_ap.add_argument("--chunks", type=int, default=BENCH_CHUNKS)
+_ARGS = _ap.parse_args()
+BATCH = _ARGS.batch
+BENCH_CHUNKS = _ARGS.chunks
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_CPU_BASELINE.json")
 
@@ -42,7 +52,7 @@ def measure_tpu_shots_per_s():
     code = get_code(CODE)
     cfg = SimConfig(shots=BATCH * BENCH_CHUNKS, dec_type="MS",
                     dec_iterations=MAX_ITER, dec_schedule=SCHEDULE,
-                    batch_size=BATCH, rng_seed=0)
+                    batch_size=BATCH, rng_seed=0, impl=_ARGS.impl)
     pipe = ShotPipeline(code.Hx, code.Hz, cfg)
     step = pipe._chunk_counts  # jitted chunk: sample+decode+classify
     p = jnp.float32(P_POINT)

@@ -44,6 +44,47 @@ __all__ = [
 ]
 
 
+def _try_qc_factory(graph, cfg, eff_layers, kind):
+    """Pallas circulant-lifted kernel factory, or None if not applicable.
+
+    Applies when: MS decoder, F/L schedule, H is circulant-lifted with
+    block-row-aligned layers, and the execution platform is a TPU
+    (cfg.platform gates this — compiled Pallas kernels are TPU-only).
+    impl='qc' forces (raises if structure is absent).
+    """
+    if kind != "MS" or cfg.schedule.upper() not in ("F", "L"):
+        if cfg.impl == "qc":
+            raise ValueError("qc kernel supports MS with schedule F or L")
+        return None
+    if cfg.impl not in ("auto", "qc"):
+        return None
+    if cfg.impl == "auto":
+        if cfg.platform == "cpu":
+            return None
+        import jax
+
+        plats = (jax.config.jax_platforms or "").lower()
+        if cfg.platform == "auto" and not ("tpu" in plats or "axon" in plats):
+            return None
+    from qldpcsim_tpu.ops.qc import detect_qc, layers_align_blocks
+
+    st = detect_qc(graph.H)
+    ok = (st is not None
+          and (cfg.schedule.upper() == "F"
+               or layers_align_blocks(eff_layers, st)))
+    if not ok:
+        if cfg.impl == "qc":
+            raise ValueError("qc kernel requires a circulant-lifted H with "
+                             "block-row-aligned layers")
+        return None
+    from qldpcsim_tpu.ops.ms_qc_pallas import make_ms_qc_decoder
+
+    def factory(graph2, cfg2, layers=None):
+        return make_ms_qc_decoder(st, cfg2, layers=layers)
+
+    return factory
+
+
 # The TPU compiler (Mosaic/XLA) has been observed to SIGSEGV on graphs with
 # very few check rows (Shor Hx is 2x9); zero-degree check rows are
 # mathematically inert in every decoder family here (no edges -> no messages,
@@ -89,15 +130,19 @@ def make_decoder(graph, cfg, layers=None):
     kind = cfg.dec_type.upper()
     if kind in ("MS", "BP"):
         factory = make_ms_decoder if kind == "MS" else make_bp_decoder
-        if cfg.impl in ("auto", "mxu", "seq"):
+        if cfg.impl in ("auto", "mxu", "seq", "qc"):
             from qldpcsim_tpu.decoders.bp_mxu import make_bp_mxu_decoder
             from qldpcsim_tpu.decoders import sequential as _seq
 
             eff_layers = layers if layers is not None else _bl(graph.H, cfg.schedule)
+            qc_factory = _try_qc_factory(graph, cfg, eff_layers, kind)
+            if qc_factory is not None:
+                factory = qc_factory
+                layers = eff_layers
             # Row-sequential path for serial schedules (1-row layers): the
             # incremental-syndrome formulation beats both edge and mxu once
             # there are many layers.
-            if _seq.supports(eff_layers) and (
+            elif _seq.supports(eff_layers) and (
                     cfg.impl == "seq" or eff_layers.n_layers > 8):
                 factory = (_seq.make_ms_seq_decoder if kind == "MS"
                            else _seq.make_bp_seq_decoder)

@@ -200,6 +200,11 @@ class DecoderConfig:
     impl: str = "auto"            # MS kernel: "auto" | "edge" (bit-exact
                                   # reference-parity path) | "mxu" (incidence-
                                   # matmul fast path; fp association differs)
+                                  # | "seq" (row-sequential, serial schedules)
+                                  # | "qc" (Pallas circulant-lifted kernel)
+    platform: str = "auto"        # execution platform hint: "auto" | "cpu" |
+                                  # "tpu" — gates the Pallas paths (compiled
+                                  # kernels are TPU-only)
 
 
 @dataclasses.dataclass

@@ -71,9 +71,11 @@ class SimConfig:
     checkpoint_dir: Optional[str] = None
     progress: bool = False
     device: str = "auto"          # "auto" | "default" | "cpu": "auto" routes
-                                  # tiny codes (n < TINY_CODE_N) to the CPU
-                                  # backend — the TPU compiler segfaults on
-                                  # tiny decode graphs (DIVERGENCES.md)
+                                  # small codes (min dim < TINY_CODE_DIM) to
+                                  # the CPU backend — the TPU compiler
+                                  # segfaults on tiny decode graphs
+    impl: str = "auto"            # decoder implementation override
+                                  # (DecoderConfig.impl): auto|edge|mxu|seq|qc
 
     def decoder_config(self) -> DecoderConfig:
         return DecoderConfig(
@@ -82,6 +84,7 @@ class SimConfig:
             schedule=self.dec_schedule,
             osd_order=self.osd_order,
             layer_compat=self.layer_compat,
+            impl=self.impl,
         )
 
 
@@ -139,7 +142,11 @@ class ShotPipeline:
         self.Hz = (np.asarray(Hz) % 2).astype(np.int8)
         self.cfg = cfg
         self.n = self.Hx.shape[1]
+        self.exec_device = _resolve_exec_device(
+            cfg, min(self.n, self.Hx.shape[0], self.Hz.shape[0]))
         dcfg = cfg.decoder_config()
+        if self.exec_device is not None and self.exec_device.platform == "cpu":
+            dcfg = dataclasses.replace(dcfg, platform="cpu")
 
         # X errors are decoded through Hz, Z errors through Hx
         # (reference simulator.py:272-282).
@@ -167,8 +174,6 @@ class ShotPipeline:
             self._osd_apply_x = jax.jit(self._make_osd_apply(self.osd_x))
             self._osd_apply_z = jax.jit(self._make_osd_apply(self.osd_z))
 
-        self.exec_device = _resolve_exec_device(
-            cfg, min(self.n, self.Hx.shape[0], self.Hz.shape[0]))
         n_dev = cfg.mesh.devices.size if cfg.mesh is not None else 1
         self.batch = cfg.batch_size or _auto_batch(self.n, cfg.shots, n_dev)
         if self.batch % n_dev:

@@ -1,0 +1,87 @@
+"""Pallas QC min-sum kernel (interpret mode on CPU) vs the bit-exact edge
+path: identical message math, VMEM-resident state and incremental posterior —
+decisions agree except on numerical ties (same class as the mxu tests)."""
+
+import numpy as np
+import pytest
+
+from qldpcsim_tpu.codes import get_code
+from qldpcsim_tpu.decoders import DecoderConfig, TannerGraph, build_layers
+from qldpcsim_tpu.decoders.ms import make_ms_decoder
+from qldpcsim_tpu.ops.qc import detect_qc, layers_align_blocks
+from qldpcsim_tpu.ops.ms_qc_pallas import make_ms_qc_decoder
+
+
+def _syn(rng, H, n_shots, p):
+    n = H.shape[1]
+    errs = (rng.random((n_shots, n)) < p).astype(np.int8)
+    return ((errs.astype(np.int64) @ H.T.astype(np.int64)) % 2).astype(np.int8)
+
+
+def test_detect_qc_library_codes():
+    assert detect_qc(np.asarray(get_code("lp118_0").Hx)).L == 16
+    assert detect_qc(np.asarray(get_code("lp04_0").Hx)).L == 7
+    assert detect_qc(np.asarray(get_code("tanner").Hx)).L == 31
+    # bicycle is circulant but not permutation-lifted; shor is not QC
+    assert detect_qc(np.asarray(get_code("bicycle").Hx)) is None
+    assert detect_qc(np.asarray(get_code("shor").Hx)) is None
+
+
+def test_layers_align():
+    H = np.asarray(get_code("lp118_0").Hz)
+    st = detect_qc(H)
+    layers = build_layers(H, "L")
+    assert layers_align_blocks(layers, st)
+
+
+@pytest.mark.parametrize("codename,schedule", [
+    ("lp04_0", "F"), ("lp04_0", "L"), ("lp118_0", "L"),
+])
+def test_qc_kernel_agrees_with_edge(codename, schedule):
+    rng = np.random.default_rng(21)
+    H = np.asarray(get_code(codename).Hz)
+    st = detect_qc(H)
+    assert st is not None
+    graph = TannerGraph.build(H)
+    layers = build_layers(H, schedule)
+    cfg = DecoderConfig(dec_type="MS", max_iter=8, schedule=schedule)
+    edge = make_ms_decoder(graph, cfg, layers=layers)
+    qc = make_ms_qc_decoder(st, cfg, layers=layers, B_blk=32, interpret=True)
+    syn = _syn(rng, H, 32, 0.03)
+    re, rq = edge(syn, 0.015), qc(syn, 0.015)
+    conv_e, conv_q = np.asarray(re.converged), np.asarray(rq.converged)
+    same = conv_e == conv_q
+    assert same.mean() >= 0.95, f"convergence agreement {same.mean():.2%}"
+    both = conv_e & conv_q
+    if both.any():
+        agree = (np.asarray(re.e_hat)[both] == np.asarray(rq.e_hat)[both]).all(axis=1)
+        assert agree.mean() >= 0.95
+        it_same = np.asarray(re.n_iter)[both] == np.asarray(rq.n_iter)[both]
+        assert it_same.mean() >= 0.9
+
+
+def test_qc_kernel_zero_syndrome():
+    H = np.asarray(get_code("lp118_0").Hz)
+    st = detect_qc(H)
+    cfg = DecoderConfig(dec_type="MS", max_iter=5, schedule="L")
+    qc = make_ms_qc_decoder(st, cfg, layers=build_layers(H, "L"),
+                            B_blk=32, interpret=True)
+    r = qc(np.zeros((8, H.shape[0]), np.int8), 0.01)
+    assert np.asarray(r.converged).all()
+    assert (np.asarray(r.n_iter) == 1).all()
+    assert (np.asarray(r.e_hat) == 0).all()
+
+
+def test_qc_kernel_syndrome_consistency():
+    rng = np.random.default_rng(22)
+    H = np.asarray(get_code("lp04_0").Hz)
+    st = detect_qc(H)
+    cfg = DecoderConfig(dec_type="MS", max_iter=12, schedule="L")
+    qc = make_ms_qc_decoder(st, cfg, layers=build_layers(H, "L"),
+                            B_blk=32, interpret=True)
+    syn = _syn(rng, H, 16, 0.02)
+    r = qc(syn, 0.01)
+    conv = np.asarray(r.converged)
+    assert conv.any()
+    e = np.asarray(r.e_hat).astype(np.int64)
+    assert ((e @ H.T.astype(np.int64)) % 2 == np.asarray(syn))[conv].all()
