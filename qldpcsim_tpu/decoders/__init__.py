@@ -47,18 +47,28 @@ __all__ = [
 def _try_qc_factory(graph, cfg, eff_layers, kind):
     """Pallas circulant-lifted kernel factory, or None if not applicable.
 
-    Applies when: MS decoder, F/L schedule, H is circulant-lifted with
+    Applies when: MS/BP decoder, F/L schedule, H is circulant-lifted with
     block-row-aligned layers, and the execution platform is a TPU
     (cfg.platform gates this — compiled Pallas kernels are TPU-only).
     impl='qc' forces (raises if structure is absent).
     """
-    if kind != "MS" or cfg.schedule.upper() not in ("F", "L"):
+    if kind not in ("MS", "BP") or cfg.schedule.upper() not in ("F", "L"):
         if cfg.impl == "qc":
-            raise ValueError("qc kernel supports MS with schedule F or L")
+            raise ValueError("qc kernel supports MS/BP with schedule F or L")
         return None
     if cfg.impl not in ("auto", "qc"):
         return None
     if cfg.impl == "auto":
+        import os
+
+        # Auto-selection is opt-in for now: on this environment's
+        # remote-compile tunnel even a trivial Pallas kernel failed to
+        # compile within 10 minutes (and killing the in-flight compile
+        # wedges the TPU service), so the QC kernel must not silently sit
+        # on the default path. Set QLDPC_ENABLE_QC_KERNEL=1 (or
+        # impl='qc') on hardware with a working Mosaic toolchain.
+        if os.environ.get("QLDPC_ENABLE_QC_KERNEL") != "1":
+            return None
         if cfg.platform == "cpu":
             return None
         import jax
@@ -77,10 +87,10 @@ def _try_qc_factory(graph, cfg, eff_layers, kind):
             raise ValueError("qc kernel requires a circulant-lifted H with "
                              "block-row-aligned layers")
         return None
-    from qldpcsim_tpu.ops.ms_qc_pallas import make_ms_qc_decoder
+    from qldpcsim_tpu.ops.ms_qc_pallas import make_qc_decoder
 
     def factory(graph2, cfg2, layers=None):
-        return make_ms_qc_decoder(st, cfg2, layers=layers)
+        return make_qc_decoder(st, cfg2, layers=layers, kind=kind)
 
     return factory
 

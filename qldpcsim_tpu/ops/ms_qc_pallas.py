@@ -54,7 +54,7 @@ def _roll_up(x, s: int, L: int):
 
 
 def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
-                 B_blk: int):
+                 B_blk: int, kind: str = "MS", eps: float = 1e-6):
     L, n, m = st.L, st.n, st.m
     # Flat c2v row offset for each (block-row, slot).
     blocks = [st.blocks_of_row(i) for i in range(st.m_b)]
@@ -101,32 +101,50 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
             bl = blocks[i]
             o = offs[i]
             ss = syn_sign[i * L:(i + 1) * L]                 # (L, B)
-            # pass 1: v2c per slot; running min1/min2/sign-parity
+            # pass 1: v2c per slot; running row reduction
             v2cs = []
-            m1 = jnp.full((L, B_blk), _BIG, f32)
-            m2 = jnp.full((L, B_blk), _BIG, f32)
-            neg_par = jnp.zeros((L, B_blk), f32)
+            if kind == "MS":
+                m1 = jnp.full((L, B_blk), _BIG, f32)
+                m2 = jnp.full((L, B_blk), _BIG, f32)
+                neg_par = jnp.zeros((L, B_blk), f32)
+            else:
+                prod = jnp.ones((L, B_blk), f32)
             for d, (j, s) in enumerate(bl):
                 pos_r = _roll_up(snapshot[j * L:(j + 1) * L], s, L)
                 v = pos_r - c2v[o + d * L: o + (d + 1) * L]
-                v2cs.append(v)
-                a = jnp.abs(v)
-                neg_par = neg_par + (v < 0.0).astype(f32)
-                is_new_min = a < m1
-                m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, a))
-                m1 = jnp.where(is_new_min, a, m1)
-            m1 = jnp.where(m1 >= _BIG, 0.0, m1)
-            m2 = jnp.where(m2 >= _BIG, 0.0, m2)
-            par = neg_par - 2.0 * jnp.floor(neg_par * 0.5)   # parity 0/1
-            prod_sign = 1.0 - 2.0 * par
-            coef = beta * ss * prod_sign                     # (L, B)
+                if kind == "MS":
+                    v2cs.append(v)
+                    a = jnp.abs(v)
+                    neg_par = neg_par + (v < 0.0).astype(f32)
+                    is_new_min = a < m1
+                    m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, a))
+                    m1 = jnp.where(is_new_min, a, m1)
+                else:
+                    # tanh-product with sign-preserving magnitude floor
+                    t = jnp.tanh(v * 0.5)
+                    t_sgn = jnp.where(t < 0.0, -1.0, 1.0)
+                    t = t_sgn * jnp.maximum(jnp.abs(t), 1e-12)
+                    v2cs.append(t)
+                    prod = prod * t
+            if kind == "MS":
+                m1 = jnp.where(m1 >= _BIG, 0.0, m1)
+                m2 = jnp.where(m2 >= _BIG, 0.0, m2)
+                par = neg_par - 2.0 * jnp.floor(neg_par * 0.5)   # parity 0/1
+                prod_sign = 1.0 - 2.0 * par
+                coef = beta * ss * prod_sign                     # (L, B)
+            else:
+                clamp = 1.0 - eps
             # pass 2: extrinsic messages + state writeback
             for d, (j, s) in enumerate(bl):
                 v = v2cs[d]
-                sign = 1.0 - 2.0 * (v < 0.0).astype(f32)
-                a = jnp.abs(v)
-                mag = jnp.where(a == m1, m2, m1)
-                new_c2v = coef * sign * mag
+                if kind == "MS":
+                    sign = 1.0 - 2.0 * (v < 0.0).astype(f32)
+                    a = jnp.abs(v)
+                    mag = jnp.where(a == m1, m2, m1)
+                    new_c2v = coef * sign * mag
+                else:
+                    th2 = jnp.clip(prod / v, -clamp, clamp)
+                    new_c2v = ss * 2.0 * jnp.arctanh(th2)
                 old = c2v[o + d * L: o + (d + 1) * L]
                 delta = (new_c2v - old) * active_f
                 c2v = jax.lax.dynamic_update_slice(
@@ -170,12 +188,14 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
     return kernel
 
 
-def make_ms_qc_decoder(st: QCStructure, cfg: DecoderConfig,
-                       layers: Optional[LayerSchedule] = None,
-                       B_blk: int = 128, interpret: bool = False):
+def make_qc_decoder(st: QCStructure, cfg: DecoderConfig,
+                    layers: Optional[LayerSchedule] = None,
+                    B_blk: int = 128, interpret: bool = False,
+                    kind: str = "MS"):
     """Build decode(syndromes, p) -> DecodeResult running the Pallas QC
-    kernel. Schedule: 'F' (flooding: one snapshot pass over all block-rows
-    per early-exit check) or block-row-aligned layered ('L')."""
+    kernel (kind 'MS' = normalized min-sum, 'BP' = tanh-product sum-product).
+    Schedule: 'F' (flooding: one snapshot pass over all block-rows per
+    early-exit check) or block-row-aligned layered ('L')."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -194,7 +214,8 @@ def make_ms_qc_decoder(st: QCStructure, cfg: DecoderConfig,
 
     n, m = st.n, st.m
     kernel = _make_kernel(st, layer_groups, float(cfg.beta),
-                          int(cfg.max_iter), B_blk)
+                          int(cfg.max_iter), B_blk, kind=kind.upper(),
+                          eps=float(cfg.eps))
 
     @functools.partial(jax.jit, static_argnames=())
     def _run(syn_T, lch):
@@ -240,3 +261,13 @@ def make_ms_qc_decoder(st: QCStructure, cfg: DecoderConfig,
         )
 
     return decode
+
+
+def make_ms_qc_decoder(st, cfg, layers=None, B_blk=128, interpret=False):
+    return make_qc_decoder(st, cfg, layers=layers, B_blk=B_blk,
+                           interpret=interpret, kind="MS")
+
+
+def make_bp_qc_decoder(st, cfg, layers=None, B_blk=128, interpret=False):
+    return make_qc_decoder(st, cfg, layers=layers, B_blk=B_blk,
+                           interpret=interpret, kind="BP")

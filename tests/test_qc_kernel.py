@@ -72,6 +72,29 @@ def test_qc_kernel_zero_syndrome():
     assert (np.asarray(r.e_hat) == 0).all()
 
 
+def test_bp_qc_kernel_agrees_with_edge():
+    from qldpcsim_tpu.decoders.bp import make_bp_decoder
+    from qldpcsim_tpu.ops.ms_qc_pallas import make_bp_qc_decoder
+
+    rng = np.random.default_rng(23)
+    H = np.asarray(get_code("lp04_0").Hz)
+    st = detect_qc(H)
+    graph = TannerGraph.build(H)
+    layers = build_layers(H, "F")
+    cfg = DecoderConfig(dec_type="BP", max_iter=8, schedule="F")
+    edge = make_bp_decoder(graph, cfg, layers=layers)
+    qc = make_bp_qc_decoder(st, cfg, layers=layers, B_blk=32, interpret=True)
+    syn = _syn(rng, H, 32, 0.03)
+    re, rq = edge(syn, 0.015), qc(syn, 0.015)
+    conv_e, conv_q = np.asarray(re.converged), np.asarray(rq.converged)
+    same = conv_e == conv_q
+    assert same.mean() >= 0.95
+    both = conv_e & conv_q
+    if both.any():
+        agree = (np.asarray(re.e_hat)[both] == np.asarray(rq.e_hat)[both]).all(axis=1)
+        assert agree.mean() >= 0.95
+
+
 def test_qc_kernel_syndrome_consistency():
     rng = np.random.default_rng(22)
     H = np.asarray(get_code("lp04_0").Hz)
