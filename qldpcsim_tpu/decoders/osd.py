@@ -169,7 +169,19 @@ def make_osd(H: np.ndarray, order: int):
             jnp.zeros((B, n), bool),
             jnp.zeros((B,), jnp.int32),
         )
-        basis, tags, pivots, sel, cnt = jax.lax.fori_loop(0, n, step, carry)
+        # Early exit once every shot has found its r basis columns — the
+        # least-reliable-first order typically completes after ~r + slack
+        # columns, halving the sweep vs a fixed 0..n loop.
+        def w_cond(jc):
+            j, c = jc
+            return (j < n) & jnp.any(c[4] < r)
+
+        def w_body(jc):
+            j, c = jc
+            return j + 1, step(j, c)
+
+        _, (basis, tags, pivots, sel, cnt) = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), carry))
         return basis, tags, pivots, sel
 
     def osd(e_hat, syndromes, posterior):

@@ -188,13 +188,13 @@ class ShotPipeline:
         if cfg.mesh is not None:
             from qldpcsim_tpu.parallel.mesh import shard_chunk_fn
 
-            if self.use_osd:
-                raise NotImplementedError(
-                    "mesh + OSD in one pipeline is not wired yet; shard OSD "
-                    "runs at the p-point level or run without a mesh")
             self._chunk_counts = shard_chunk_fn(cfg.mesh, self._chunk_body)
         else:
             self._chunk_counts = jax.jit(self._chunk_body)
+        # OSD two-stage path: under a mesh the stage functions rely on
+        # sharding propagation — simulate_p device_puts the tile keys with a
+        # ('shots',) sharding and XLA partitions stage1/stage2 (counter sums
+        # become psums); the host-side failed-shot compaction is unchanged.
         self._stage1 = jax.jit(self._stage1_body)
         self._stage2 = jax.jit(self._stage2_body)
 
@@ -324,7 +324,15 @@ def simulate_p(Hx: np.ndarray, Hz: np.ndarray, p: float,
             # [c * tiles_per_chunk, (c+1) * tiles_per_chunk).
             keys = chunk_keys(key, c * pipe.tiles_per_chunk,
                               pipe.tiles_per_chunk)
-            if cfg.mesh is not None:
+            if pipe.use_osd:
+                if cfg.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    keys = jax.device_put(
+                        keys, NamedSharding(cfg.mesh, P("shots")))
+                counts = pipe.run_chunk_with_osd(keys, jnp.float32(p),
+                                                 jnp.int32(n_valid))
+            elif cfg.mesh is not None:
                 ndev, per_dev = pipe.n_dev, pipe.per_dev
                 keys = keys.reshape(ndev, pipe.tiles_per_dev, -1)
                 base = c * batch
@@ -332,9 +340,6 @@ def simulate_p(Hx: np.ndarray, Hz: np.ndarray, p: float,
                              0, per_dev)
                 counts = pipe._chunk_counts(keys, jnp.float32(p),
                                             jnp.asarray(nv, jnp.int32))
-            elif pipe.use_osd:
-                counts = pipe.run_chunk_with_osd(keys, jnp.float32(p),
-                                                 jnp.int32(n_valid))
             else:
                 counts = pipe._chunk_counts(keys, jnp.float32(p),
                                             jnp.int32(n_valid))

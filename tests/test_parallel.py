@@ -40,6 +40,20 @@ def test_sharded_partial_chunk():
     assert r.shots == 200
 
 
+def test_sharded_osd_bit_exact():
+    """Mesh + OSD two-stage path (sharding-propagation jit) must reproduce
+    the single-device counters exactly."""
+    code = get_code("lp04_0")
+    base = dict(shots=512, dec_type="BP", dec_iterations=8, rng_seed=5,
+                osd_order=1)
+    r_single = simulate_p(code.Hx, code.Hz, 0.05,
+                          SimConfig(batch_size=512, **base))
+    mesh = make_mesh()
+    r_sharded = simulate_p(code.Hx, code.Hz, 0.05,
+                           SimConfig(batch_size=512, mesh=mesh, **base))
+    assert r_sharded.counters == r_single.counters
+
+
 def test_mesh_device_count_invariance():
     """Counters must not depend on how many devices participate, as long as
     the global chunk layout is fixed (key = f(global chunk index))."""
