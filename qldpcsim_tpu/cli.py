@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="Directory for resumable per-p-point counter checkpoints.")
     tpu.add_argument("--out", default=None, help="Write results as JSON lines.")
     tpu.add_argument("--quiet", action="store_true", help="Suppress progress lines.")
+    tpu.add_argument("--profile", default=None, metavar="DIR",
+                     help="Write a jax.profiler trace of the sweep to DIR "
+                          "(view with TensorBoard / xprof).")
     return parser
 
 
@@ -106,9 +109,12 @@ def main(argv: Optional[list] = None) -> int:
         rng_seed=args.rngSeed, batch_size=args.batch, layer_compat=args.layerCompat,
         mesh=mesh, checkpoint_dir=args.checkpointDir, progress=not args.quiet,
     )
+    from qldpcsim_tpu.utils.profiling import trace_context
+
     pipe = ShotPipeline(Hx, Hz, cfg)
-    results = [simulate_p(Hx, Hz, pT, cfg, pipeline=pipe, p_index=i)
-               for i, pT in enumerate(p)]
+    with trace_context("p_sweep", args.profile):
+        results = [simulate_p(Hx, Hz, pT, cfg, pipeline=pipe, p_index=i)
+                   for i, pT in enumerate(p)]
 
     print(format_results_table(results))
     if args.out:
