@@ -20,6 +20,7 @@
 #include <cmath>
 #include <vector>
 #include <algorithm>
+#include <thread>
 
 extern "C" {
 
@@ -162,6 +163,45 @@ int ms_decode_cpu(const int8_t* H, int m, int n,
         iters_out[b] = used;
         conv_out[b] = conv ? 1 : 0;
     }
+    return 0;
+}
+
+
+// ---------------------------------------------------------------------------
+// Multithreaded batch wrapper: splits shots across up to `threads` workers
+// (0 = hardware concurrency). Each worker runs the single-threaded decoder
+// on its contiguous shot range — embarrassingly parallel, bit-identical to
+// the sequential version.
+// ---------------------------------------------------------------------------
+int ms_decode_cpu_mt(const int8_t* H, int m, int n,
+                     const int8_t* syndromes, int B,
+                     float p, int max_iter, float beta,
+                     const int32_t* starts, const int32_t* ends, int n_layers,
+                     int8_t* e_out, int32_t* iters_out, int8_t* conv_out,
+                     int threads) {
+    int T = threads > 0 ? threads
+                        : (int)std::thread::hardware_concurrency();
+    if (T < 1) T = 1;
+    if (T > B) T = B;
+    if (T == 1)
+        return ms_decode_cpu(H, m, n, syndromes, B, p, max_iter, beta,
+                             starts, ends, n_layers, e_out, iters_out,
+                             conv_out);
+    std::vector<std::thread> pool;
+    pool.reserve(T);
+    const int per = (B + T - 1) / T;
+    for (int t = 0; t < T; ++t) {
+        const int b0 = t * per;
+        const int b1 = std::min(B, b0 + per);
+        if (b0 >= b1) break;
+        pool.emplace_back([=] {
+            ms_decode_cpu(H, m, n, &syndromes[(size_t)b0 * m], b1 - b0,
+                          p, max_iter, beta, starts, ends, n_layers,
+                          &e_out[(size_t)b0 * n], &iters_out[b0],
+                          &conv_out[b0]);
+        });
+    }
+    for (auto& th : pool) th.join();
     return 0;
 }
 

@@ -64,6 +64,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                   ctypes.c_float, ctypes.c_int, ctypes.c_float,
                                   i32p, i32p, ctypes.c_int,
                                   i8p, i32p, i8p]
+    if hasattr(lib, "ms_decode_cpu_mt"):
+        lib.ms_decode_cpu_mt.restype = ctypes.c_int
+        lib.ms_decode_cpu_mt.argtypes = lib.ms_decode_cpu.argtypes + [ctypes.c_int]
     _LIB = lib
     return _LIB
 
@@ -104,8 +107,10 @@ def eliminate_native(packed: np.ndarray, n: int, T: Optional[np.ndarray],
 
 
 def ms_decode_native(H: np.ndarray, syndromes: np.ndarray, p: float,
-                     max_iter: int, layers, beta: float = 0.75):
-    """Batched reference-semantics CPU MS decode. Returns
+                     max_iter: int, layers, beta: float = 0.75,
+                     threads: int = 0):
+    """Batched reference-semantics CPU MS decode (threads=0: all cores;
+    1: sequential; results are bit-identical either way). Returns
     (e_hat (B,n) int8, n_iter (B,) int32, converged (B,) bool) or None."""
     lib = get_lib()
     if lib is None:
@@ -119,8 +124,12 @@ def ms_decode_native(H: np.ndarray, syndromes: np.ndarray, p: float,
     e_out = np.zeros((B, n), np.int8)
     iters = np.zeros(B, np.int32)
     conv = np.zeros(B, np.int8)
-    lib.ms_decode_cpu(_i8p(H), m, n, _i8p(syn), B,
-                      ctypes.c_float(p), max_iter, ctypes.c_float(beta),
-                      _i32p(starts), _i32p(ends), len(layers),
-                      _i8p(e_out), _i32p(iters), _i8p(conv))
+    args = (_i8p(H), m, n, _i8p(syn), B,
+            ctypes.c_float(p), max_iter, ctypes.c_float(beta),
+            _i32p(starts), _i32p(ends), len(layers),
+            _i8p(e_out), _i32p(iters), _i8p(conv))
+    if hasattr(lib, "ms_decode_cpu_mt"):
+        lib.ms_decode_cpu_mt(*args, threads)
+    else:
+        lib.ms_decode_cpu(*args)
     return e_out, iters, conv.astype(bool)
