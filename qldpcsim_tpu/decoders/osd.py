@@ -184,6 +184,16 @@ def make_osd(H: np.ndarray, order: int):
             w_cond, w_body, (jnp.int32(0), carry))
         return basis, tags, pivots, sel
 
+    # Opt-in Pallas elimination kernel (VMEM-resident sweep; see
+    # ops/gf2_elim_pallas.py and DIVERGENCES.md "Execution environment").
+    import os as _os
+
+    _elim_pallas = None
+    if _os.environ.get("QLDPC_ENABLE_QC_KERNEL") == "1":
+        from qldpcsim_tpu.ops.gf2_elim_pallas import make_eliminate_pallas
+
+        _elim_pallas = make_eliminate_pallas(n, r, mW, rW)
+
     def osd(e_hat, syndromes, posterior):
         B = e_hat.shape[0]
         f32 = jnp.float32
@@ -197,7 +207,10 @@ def make_osd(H: np.ndarray, order: int):
 
         # 2. least-reliable basis via one elimination sweep
         colsP = jnp.asarray(cols_packed)[perm]                      # (B, n, mW)
-        basis, tags, pivots, sel = _eliminate(colsP)
+        if _elim_pallas is not None:
+            tags, pivots, sel = _elim_pallas(colsP)
+        else:
+            basis, tags, pivots, sel = _eliminate(colsP)
         pivots_valid = pivots >= 0
 
         # 3. base "information" estimate: e_hat restricted to non-basis columns

@@ -144,3 +144,29 @@ def test_cli_file_inputs(tmp_path, capsys):
     rc = main(["--Hx", str(hx), "--Hz", str(hz), "--p", "0.02",
                "--shots", "32", "--quiet", "--rngSeed", "1"])
     assert rc == 0
+
+
+def test_layer_compat_cross_wiring():
+    """layer_compat=True reproduces the reference's cross-wired layer
+    derivation (landmine L1): X-decode layers derive from Hx though the
+    decode matrix is Hz. For shape-matched codes both wirings give identical
+    structure; for Shor they differ and rows beyond the decode matrix are
+    clipped instead of crashing."""
+    import numpy as np
+    from qldpcsim_tpu.codes import get_code
+    from qldpcsim_tpu.decoders import build_layers
+    from qldpcsim_tpu.engine.montecarlo import ShotPipeline, SimConfig, simulate_p
+
+    code = get_code("shor")
+    # Cross-wired: decoding Hz (6 rows) with layers from Hx (2 rows).
+    cross = build_layers(np.asarray(code.Hz), "L",
+                         H_layerize=np.asarray(code.Hx))
+    straight = build_layers(np.asarray(code.Hz), "L")
+    assert cross.rows.shape != straight.rows.shape or \
+        (cross.rows != straight.rows).any()
+    # Engine runs end-to-end under compat mode.
+    cfg = SimConfig(shots=128, dec_type="MS", dec_iterations=6,
+                    dec_schedule="L", batch_size=128, rng_seed=1,
+                    layer_compat=True)
+    r = simulate_p(code.Hx, code.Hz, 0.02, cfg)
+    assert 0.0 <= r.qbler <= 1.0
