@@ -173,6 +173,7 @@ class ShotPipeline:
             self.osd_z = make_osd(self.Hx, cfg.osd_order)
             self._osd_apply_x = jax.jit(self._make_osd_apply(self.osd_x))
             self._osd_apply_z = jax.jit(self._make_osd_apply(self.osd_z))
+            self._osd_cap = 256  # fixed bucket (see _run_osd_side)
 
         n_dev = cfg.mesh.devices.size if cfg.mesh is not None else 1
         self.batch = cfg.batch_size or _auto_batch(self.n, cfg.shots, n_dev)
@@ -265,19 +266,21 @@ class ShotPipeline:
         failed = np.nonzero(~conv)[0]
         if failed.size == 0:
             return
-        cap = 16
-        while cap < failed.size:
-            cap *= 2
-        cap = min(cap, self.batch)
-        idx = np.zeros(cap, np.int32)
-        idx[: failed.size] = failed
-        valid = np.zeros(cap, bool)
-        valid[: failed.size] = True
+        # ONE fixed bucket size per pipeline: variable bucket sizes would
+        # recompile the OSD jit per new size (minutes each on the remote
+        # TPU compiler); overflow just runs additional same-shape passes.
+        cap = self._osd_cap
         apply = self._osd_apply_x if side == "x" else self._osd_apply_z
         ehk = "ex_hat" if side == "x" else "ez_hat"
         syk = "sy_z" if side == "x" else "sy_x"
-        s[ehk] = apply(s[ehk], s[syk], s[f"post_{side}"], jnp.asarray(idx),
-                       jnp.asarray(valid))
+        for lo in range(0, failed.size, cap):
+            part = failed[lo: lo + cap]
+            idx = np.zeros(cap, np.int32)
+            idx[: part.size] = part
+            valid = np.zeros(cap, bool)
+            valid[: part.size] = True
+            s[ehk] = apply(s[ehk], s[syk], s[f"post_{side}"],
+                           jnp.asarray(idx), jnp.asarray(valid))
 
     def run_chunk_with_osd(self, key, p, n_valid):
         s = self._stage1(key, p)
