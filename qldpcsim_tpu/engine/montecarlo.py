@@ -169,8 +169,10 @@ class ShotPipeline:
 
         self.use_osd = cfg.osd_order >= 0 and dcfg.dec_type.upper() in ("MS", "BP")
         if self.use_osd:
-            self.osd_x = make_osd(self.Hz, cfg.osd_order)
-            self.osd_z = make_osd(self.Hx, cfg.osd_order)
+            self.osd_x = make_osd(self.Hz, cfg.osd_order,
+                                  platform=dcfg.platform)
+            self.osd_z = make_osd(self.Hx, cfg.osd_order,
+                                  platform=dcfg.platform)
             self._osd_apply_x = jax.jit(self._make_osd_apply(self.osd_x))
             self._osd_apply_z = jax.jit(self._make_osd_apply(self.osd_z))
             self._osd_cap = 256  # fixed bucket (see _run_osd_side)

@@ -38,11 +38,16 @@ def make_eliminate_pallas(n: int, r: int, mW: int, rW: int,
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(cols_ref, tags_ref, piv_ref, sel_ref):
-        cols = cols_ref[...]                                   # (n, mW, B)
+        # Mosaic lowering constraints shape this kernel: no value-level
+        # dynamic_(update_)slice (load the current column from the VMEM ref
+        # with pl.ds instead; store `sel` rows back the same way), no
+        # sub-tile (1, B) int/bool loop carries (cnt is carried as f32).
+        sel_ref[...] = jnp.zeros((n, B_blk), jnp.int32)
+        f32 = jnp.float32
 
-        def step(state):
-            j, basis, tags, pivots, sel, cnt = state
-            v = jax.lax.dynamic_index_in_dim(cols, j, keepdims=False)  # (mW, B)
+        def step(j, state):
+            basis, tags, pivots, cnt = state
+            v = cols_ref[pl.ds(j, 1)][0]                       # (mW, B)
             valid = pivots >= 0                                # (r, B)
             pw = jnp.maximum(pivots, 0) >> 5                   # (r, B)
             ps = (jnp.maximum(pivots, 0) & 31).astype(u32)
@@ -54,18 +59,30 @@ def make_eliminate_pallas(n: int, r: int, mW: int, rW: int,
             h = (h >> ps) & u32(1)
             h = jnp.where(valid, h, u32(0))
             hm = (u32(0) - h)                                  # (r, B)
-            # v ^= xor-fold of basis rows where h==1; t likewise from tags
-            vx = jnp.zeros((mW, B_blk), u32)
-            tx = jnp.zeros((rW, B_blk), u32)
-            vx = jax.lax.fori_loop(
-                0, r, lambda k, a: a ^ (basis[k] & hm[k][None, :]), vx)
-            tx = jax.lax.fori_loop(
-                0, r, lambda k, a: a ^ (tags[k] & hm[k][None, :]), tx)
+
+            # v ^= xor-fold of basis rows where h==1; t likewise from tags.
+            # Static log-depth halving tree: a fori over rows would index
+            # basis[k] with a traced k (value-level dynamic_slice — no
+            # Mosaic lowering).
+            def xor_reduce0(x):
+                rp = x.shape[0]
+                pot = 1 << (rp - 1).bit_length()
+                if pot != rp:
+                    x = jnp.concatenate(
+                        [x, jnp.zeros((pot - rp,) + x.shape[1:], u32)])
+                while pot > 1:
+                    pot //= 2
+                    x = x[:pot] ^ x[pot:]
+                return x[0]
+
+            vx = xor_reduce0(basis & hm[:, None, :])
+            tx = xor_reduce0(tags & hm[:, None, :])
             v = v ^ vx
 
             nonzero = jnp.zeros((1, B_blk), bool)
             for w in range(mW):
                 nonzero = nonzero | (v[w][None, :] != 0)
+            cnt_i = cnt.astype(jnp.int32)                      # (1, B)
             # lowest set bit position of v
             piv_new = jnp.full((1, B_blk), 0, jnp.int32)
             found = jnp.zeros((1, B_blk), bool)
@@ -79,16 +96,15 @@ def make_eliminate_pallas(n: int, r: int, mW: int, rW: int,
                 piv_new = jnp.where(here, w * 32 + bitpos, piv_new)
                 found = found | (word != 0)
 
-            cnt_c = jnp.minimum(cnt, r - 1)                    # (1, B)
-            upd = nonzero & (cnt < r)
+            cnt_c = jnp.minimum(cnt_i, r - 1)                  # (1, B)
+            upd = nonzero & (cnt_i < r)
             # self-tag bit e_cnt
             selfbit_w = cnt_c >> 5                             # (1, B)
             selfbit = (u32(1) << (cnt_c.astype(u32) & u32(31)))
-            t_new = tx
-            for w in range(rW):
-                t_new = t_new.at[w].set(
-                    t_new[w] ^ jnp.where((selfbit_w[0] == w) & upd[0],
-                                         selfbit[0], u32(0)))
+            t_new = jnp.stack([
+                tx[w] ^ jnp.where((selfbit_w[0] == w) & upd[0],
+                                  selfbit[0], u32(0))
+                for w in range(rW)])
 
             # back-eliminate new pivot bit from existing basis rows
             pvw = jnp.maximum(piv_new, 0) >> 5                 # (1, B)
@@ -110,27 +126,23 @@ def make_eliminate_pallas(n: int, r: int, mW: int, rW: int,
             tags = (tags & ~sm[:, None, :]) | (sm[:, None, :] & t_new[None])
             pivots = jnp.where(slot, piv_new, pivots)
 
-            sel = jax.lax.dynamic_update_index_in_dim(
-                sel, upd.astype(jnp.int32)[0], j, axis=0)
-            cnt = cnt + upd.astype(jnp.int32)
-            return j + 1, basis, tags, pivots, sel, cnt
+            sel_ref[pl.ds(j, 1)] = upd.astype(jnp.int32)
+            cnt = cnt + upd.astype(f32)
+            return basis, tags, pivots, cnt
 
-        def cond(state):
-            j, _, _, _, _, cnt = state
-            return (j < n) & jnp.any(cnt < r)
-
+        # fori (not while): refs may be read/written inside fori bodies on
+        # Mosaic, while-loop bodies get discharged into unsupported
+        # dynamic_slice ops. All updates are `upd`-masked, so the post-rank
+        # tail columns are no-ops (only `sel` bookkeeping happens there).
         state = (
-            jnp.int32(0),
             jnp.zeros((r, mW, B_blk), u32),
             jnp.zeros((r, rW, B_blk), u32),
             jnp.full((r, B_blk), -1, jnp.int32),
-            jnp.zeros((n, B_blk), jnp.int32),
-            jnp.zeros((1, B_blk), jnp.int32),
+            jnp.zeros((1, B_blk), f32),
         )
-        _, _, tags, pivots, sel, _ = jax.lax.while_loop(cond, step, state)
+        _, tags, pivots, _ = jax.lax.fori_loop(0, n, step, state)
         tags_ref[...] = tags
         piv_ref[...] = pivots
-        sel_ref[...] = sel
 
     @functools.partial(jax.jit)
     def eliminate(colsP):

@@ -56,26 +56,23 @@ def _roll_up(x, s: int, L: int):
 def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
                  B_blk: int, kind: str = "MS", eps: float = 1e-6):
     L, n, m = st.L, st.n, st.m
-    # Flat c2v row offset for each (block-row, slot).
     blocks = [st.blocks_of_row(i) for i in range(st.m_b)]
-    offs = []
-    off = 0
-    for i in range(st.m_b):
-        offs.append(off)
-        off += len(blocks[i]) * L
-    E_rows = off
+    n_b = st.n_b
 
     f32 = jnp.float32
 
+    # All state lives in PYTREES of per-block (L, B_blk) arrays: every block
+    # index is a static Python int, so the whole loop lowers to Mosaic with
+    # no dynamic_slice/dynamic_update_slice (unsupported in TC kernels).
     def _syn_est_rows(e_blocks, i):
-        """H e (mod 2) restricted to block-row i. e_blocks: (n, B) 0/1 f32."""
+        """H e (mod 2) restricted to block-row i. e_blocks: n_b x (L, B)."""
         acc = None
         for (j, s) in blocks[i]:
-            v = _roll_up(e_blocks[j * L:(j + 1) * L], s, L)
+            v = _roll_up(e_blocks[j], s, L)
             acc = v if acc is None else acc + v
         if acc is None:
-            return jnp.zeros((L, e_blocks.shape[1]), f32)
-        # sum of 0/1 over <= dmax blocks; mod 2 via bitwise trick on small ints
+            return jnp.zeros((L, B_blk), f32)
+        # sum of 0/1 over <= dmax blocks; mod 2 via floor trick on small ints
         return acc - 2.0 * jnp.floor(acc * 0.5)
 
     def kernel(syn_ref, lch_ref, e_ref, it_ref, conv_ref, post_ref):
@@ -83,23 +80,25 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
         syn = syn_ref[...].astype(f32)                       # (m, B)
         syn_sign = 1.0 - 2.0 * syn
 
-        def check_all(posterior, done, it_lat, it):
-            e = (posterior < 0.0).astype(f32)                # (n, B)
-            bad = jnp.zeros((1, posterior.shape[1]), f32)
+        def check_all(post_blocks, done, it_lat, it):
+            e_blocks = tuple((pb < 0.0).astype(f32) for pb in post_blocks)
+            bad = jnp.zeros((1, B_blk), f32)
             for i2 in range(st.m_b):
-                est = _syn_est_rows(e, i2)
+                est = _syn_est_rows(e_blocks, i2)
                 diff = jnp.abs(est - syn[i2 * L:(i2 + 1) * L])
                 bad = bad + jnp.sum(diff, axis=0, keepdims=True)
-            ok = (bad == 0.0)                                # (1, B)
-            newly = ok & (~done)
-            it_lat = jnp.where(newly, it + 1, it_lat)
-            return done | ok, it_lat
+            # done/it_lat are carried as f32 (no i1/i32 in the while carry:
+            # Mosaic fails to legalize replicated-layout mask yields)
+            ok = (bad == 0.0).astype(f32)                    # (1, B) 0/1
+            newly = ok * (1.0 - done)
+            it_lat = it_lat + newly * ((it + 1).astype(f32) - it_lat)
+            return jnp.maximum(done, ok), it_lat
 
-        def one_block_row(i, c2v, posterior, snapshot, active_f):
+        def one_block_row(i, c2v, post_blocks, snapshot, active_f):
             """CN update of block-row i against `snapshot`, applying deltas
-            to `posterior`. active_f: (1, B) 0/1 freeze mask."""
+            to `post_blocks`. active_f: (1, B) 0/1 freeze mask."""
             bl = blocks[i]
-            o = offs[i]
+            row = list(c2v[i])                               # slot -> (L, B)
             ss = syn_sign[i * L:(i + 1) * L]                 # (L, B)
             # pass 1: v2c per slot; running row reduction
             v2cs = []
@@ -110,8 +109,8 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
             else:
                 prod = jnp.ones((L, B_blk), f32)
             for d, (j, s) in enumerate(bl):
-                pos_r = _roll_up(snapshot[j * L:(j + 1) * L], s, L)
-                v = pos_r - c2v[o + d * L: o + (d + 1) * L]
+                pos_r = _roll_up(snapshot[j], s, L)
+                v = pos_r - row[d]
                 if kind == "MS":
                     v2cs.append(v)
                     a = jnp.abs(v)
@@ -135,6 +134,7 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
             else:
                 clamp = 1.0 - eps
             # pass 2: extrinsic messages + state writeback
+            post_blocks = list(post_blocks)
             for d, (j, s) in enumerate(bl):
                 v = v2cs[d]
                 if kind == "MS":
@@ -145,44 +145,41 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
                 else:
                     th2 = jnp.clip(prod / v, -clamp, clamp)
                     new_c2v = ss * 2.0 * jnp.arctanh(th2)
-                old = c2v[o + d * L: o + (d + 1) * L]
-                delta = (new_c2v - old) * active_f
-                c2v = jax.lax.dynamic_update_slice(
-                    c2v, old + delta, (o + d * L, 0))
+                delta = (new_c2v - row[d]) * active_f
+                row[d] = row[d] + delta
                 back = _roll_up(delta, (L - s) % L, L)
-                posterior = jax.lax.dynamic_update_slice(
-                    posterior,
-                    jax.lax.dynamic_slice(posterior, (j * L, 0),
-                                          (L, B_blk)) + back,
-                    (j * L, 0))
-            return c2v, posterior
+                post_blocks[j] = post_blocks[j] + back
+            c2v = c2v[:i] + (tuple(row),) + c2v[i + 1:]
+            return c2v, tuple(post_blocks)
 
         def body(carry):
-            it, c2v, posterior, done, it_lat = carry
+            it, c2v, post_blocks, done, it_lat = carry
             for group in layer_groups:
-                active_f = 1.0 - done.astype(f32)
-                snapshot = posterior
+                active_f = 1.0 - done
+                snapshot = post_blocks
                 for i in group:
-                    c2v, posterior = one_block_row(i, c2v, posterior,
-                                                   snapshot, active_f)
-                done, it_lat = check_all(posterior, done, it_lat, it)
-            return it + 1, c2v, posterior, done, it_lat
+                    c2v, post_blocks = one_block_row(i, c2v, post_blocks,
+                                                     snapshot, active_f)
+                done, it_lat = check_all(post_blocks, done, it_lat, it)
+            return it + 1, c2v, post_blocks, done, it_lat
 
         def cond(carry):
-            return (carry[0] < max_iter) & (~jnp.all(carry[3]))
+            return (carry[0] < max_iter) & (jnp.min(carry[3]) < 0.5)
 
         carry = (
             jnp.int32(0),
-            jnp.zeros((E_rows, B_blk), f32),
-            jnp.full((n, B_blk), L_ch, f32),
-            jnp.zeros((1, B_blk), bool),
-            jnp.full((1, B_blk), max_iter, jnp.int32),
+            tuple(tuple(jnp.zeros((L, B_blk), f32) for _ in blocks[i])
+                  for i in range(st.m_b)),
+            tuple(jnp.full((L, B_blk), L_ch, f32) for _ in range(n_b)),
+            jnp.zeros((1, B_blk), f32),
+            jnp.full((1, B_blk), float(max_iter), f32),
         )
-        _, _, posterior, done, it_lat = jax.lax.while_loop(cond, body, carry)
+        _, _, post_blocks, done, it_lat = jax.lax.while_loop(cond, body, carry)
 
+        posterior = jnp.concatenate(post_blocks, axis=0)
         e_ref[...] = (posterior < 0.0).astype(jnp.float32)
-        it_ref[...] = it_lat
-        conv_ref[...] = done.astype(jnp.int32)
+        it_ref[...] = it_lat.astype(jnp.int32)
+        conv_ref[...] = (done > 0.5).astype(jnp.int32)
         post_ref[...] = posterior
 
     return kernel
