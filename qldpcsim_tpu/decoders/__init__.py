@@ -47,14 +47,15 @@ __all__ = [
 def _try_qc_factory(graph, cfg, eff_layers, kind):
     """Pallas circulant-lifted kernel factory, or None if not applicable.
 
-    Applies when: MS/BP decoder, F/L schedule, H is circulant-lifted with
-    block-row-aligned layers, and the execution platform is a TPU
-    (cfg.platform gates this — compiled Pallas kernels are TPU-only).
-    impl='qc' forces (raises if structure is absent).
+    Applies when: MS/BP decoder, H is circulant-lifted, schedule F/L with
+    block-row-aligned layers (ops/ms_qc_pallas.py) or serial with
+    natural-order rows (ops/seq_qc_pallas.py), and the execution platform
+    is a TPU (cfg.platform gates this — compiled Pallas kernels are
+    TPU-only). impl='qc' forces (raises if structure is absent).
     """
-    if kind not in ("MS", "BP") or cfg.schedule.upper() not in ("F", "L"):
+    if kind not in ("MS", "BP") or cfg.schedule.upper() not in ("F", "L", "S"):
         if cfg.impl == "qc":
-            raise ValueError("qc kernel supports MS/BP with schedule F or L")
+            raise ValueError("qc kernel supports MS/BP with schedule F/L/S")
         return None
     if cfg.impl not in ("auto", "qc"):
         return None
@@ -80,9 +81,30 @@ def _try_qc_factory(graph, cfg, eff_layers, kind):
     from qldpcsim_tpu.ops.qc import detect_qc, layers_align_blocks
 
     st = detect_qc(graph.H)
+    sched = cfg.schedule.upper()
+    if sched == "S":
+        from qldpcsim_tpu.ops.seq_qc_pallas import (
+            make_seq_qc_decoder, serial_order_is_natural)
+
+        ok = st is not None and serial_order_is_natural(eff_layers, graph.m)
+        if not ok:
+            if cfg.impl == "qc":
+                raise ValueError("serial qc kernel requires a circulant-"
+                                 "lifted H with natural-order 1-row layers")
+            return None
+
+        def factory(graph2, cfg2, layers=None):
+            return make_seq_qc_decoder(st, cfg2, layers=layers, kind=kind)
+
+        return factory
+
+    # Auto-path F/L: MS only. The BP variant measured ~3x SLOWER than the
+    # XLA mxu path on LP118 flooding (transcendental-heavy CN update vs
+    # MXU matmuls) — force with impl='qc' if wanted.
+    if kind == "BP" and cfg.impl == "auto":
+        return None
     ok = (st is not None
-          and (cfg.schedule.upper() == "F"
-               or layers_align_blocks(eff_layers, st)))
+          and (sched == "F" or layers_align_blocks(eff_layers, st)))
     if not ok:
         if cfg.impl == "qc":
             raise ValueError("qc kernel requires a circulant-lifted H with "

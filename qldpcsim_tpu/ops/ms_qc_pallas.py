@@ -144,7 +144,8 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
                     new_c2v = coef * sign * mag
                 else:
                     th2 = jnp.clip(prod / v, -clamp, clamp)
-                    new_c2v = ss * 2.0 * jnp.arctanh(th2)
+                    # arctanh via log ((1+x)/(1-x)) — no Mosaic atanh lowering
+                    new_c2v = ss * jnp.log((1.0 + th2) / (1.0 - th2))
                 delta = (new_c2v - row[d]) * active_f
                 row[d] = row[d] + delta
                 back = _roll_up(delta, (L - s) % L, L)

@@ -181,3 +181,69 @@ def test_gf2_elim_pallas_tags_solve():
         x_bits = np.array([(x[k >> 5] >> np.uint32(k & 31)) & 1
                            for k in range(r)])
         assert (x_bits == x_true).all()
+
+
+def test_seq_qc_kernel_agrees_with_seq():
+    """Serial-schedule QC kernel vs the XLA row-sequential path: identical
+    update math and per-row exit granularity (both incremental-posterior,
+    so they agree with each other up to numerical ties)."""
+    from qldpcsim_tpu.decoders.sequential import make_ms_seq_decoder
+    from qldpcsim_tpu.ops.seq_qc_pallas import (
+        make_ms_seq_qc_decoder, serial_order_is_natural)
+
+    rng = np.random.default_rng(29)
+    H = np.asarray(get_code("lp04_0").Hz)
+    st = detect_qc(H)
+    graph = TannerGraph.build(H)
+    layers = build_layers(H, "S")
+    assert serial_order_is_natural(layers, H.shape[0])
+    cfg = DecoderConfig(dec_type="MS", max_iter=6, schedule="S")
+    seq = make_ms_seq_decoder(graph, cfg, layers=layers)
+    qc = make_ms_seq_qc_decoder(st, cfg, layers=layers, B_blk=32,
+                                interpret=True)
+    syn = _syn(rng, H, 32, 0.02)
+    r1, r2 = seq(syn, 0.05 / 3), qc(syn, 0.05 / 3)
+    c1, c2 = np.asarray(r1.converged), np.asarray(r2.converged)
+    assert (c1 == c2).mean() >= 0.95
+    both = c1 & c2
+    assert (np.asarray(r1.e_hat)[both] ==
+            np.asarray(r2.e_hat)[both]).all(axis=1).mean() >= 0.95
+    assert (np.asarray(r1.n_iter)[both] ==
+            np.asarray(r2.n_iter)[both]).mean() >= 0.9
+
+
+def test_seq_qc_kernel_zero_syndrome():
+    from qldpcsim_tpu.ops.seq_qc_pallas import make_ms_seq_qc_decoder
+
+    H = np.asarray(get_code("lp04_0").Hz)
+    st = detect_qc(H)
+    cfg = DecoderConfig(dec_type="MS", max_iter=5, schedule="S")
+    qc = make_ms_seq_qc_decoder(st, cfg, layers=build_layers(H, "S"),
+                                B_blk=32, interpret=True)
+    r = qc(np.zeros((8, H.shape[0]), np.int8), 0.01)
+    assert np.asarray(r.converged).all()
+    assert (np.asarray(r.n_iter) == 1).all()
+    assert (np.asarray(r.e_hat) == 0).all()
+
+
+def test_seq_qc_kernel_bp_variant():
+    from qldpcsim_tpu.decoders.sequential import make_bp_seq_decoder
+    from qldpcsim_tpu.ops.seq_qc_pallas import make_bp_seq_qc_decoder
+
+    rng = np.random.default_rng(31)
+    H = np.asarray(get_code("lp04_0").Hz)
+    st = detect_qc(H)
+    graph = TannerGraph.build(H)
+    layers = build_layers(H, "S")
+    cfg = DecoderConfig(dec_type="BP", max_iter=6, schedule="S")
+    seq = make_bp_seq_decoder(graph, cfg, layers=layers)
+    qc = make_bp_seq_qc_decoder(st, cfg, layers=layers, B_blk=16,
+                                interpret=True)
+    syn = _syn(rng, H, 16, 0.02)
+    r1, r2 = seq(syn, 0.05 / 3), qc(syn, 0.05 / 3)
+    c1, c2 = np.asarray(r1.converged), np.asarray(r2.converged)
+    assert (c1 == c2).mean() >= 0.9
+    both = c1 & c2
+    if both.any():
+        assert (np.asarray(r1.e_hat)[both] ==
+                np.asarray(r2.e_hat)[both]).all(axis=1).mean() >= 0.9
