@@ -27,7 +27,7 @@ P_POINT = 0.05
 MAX_ITER = 50
 SCHEDULE = "L"
 BATCH = 4096
-BENCH_CHUNKS = 8
+BENCH_CHUNKS = 16
 
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--impl", default="auto",
@@ -65,7 +65,7 @@ def measure_tpu_shots_per_s():
     jax.block_until_ready(out)
 
     best = 0.0
-    for rep in range(2):  # best-of-2 to damp tunnel/dispatch jitter
+    for rep in range(3):  # best-of-3 to damp tunnel/dispatch jitter
         t0 = time.perf_counter()
         outs = []
         for c in range(1, BENCH_CHUNKS + 1):

@@ -98,11 +98,6 @@ def _try_qc_factory(graph, cfg, eff_layers, kind):
 
         return factory
 
-    # Auto-path F/L: MS only. The BP variant measured ~3x SLOWER than the
-    # XLA mxu path on LP118 flooding (transcendental-heavy CN update vs
-    # MXU matmuls) — force with impl='qc' if wanted.
-    if kind == "BP" and cfg.impl == "auto":
-        return None
     ok = (st is not None
           and (sched == "F" or layers_align_blocks(eff_layers, st)))
     if not ok:

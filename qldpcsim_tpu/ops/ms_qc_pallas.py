@@ -124,7 +124,13 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
                     t_sgn = jnp.where(t < 0.0, -1.0, 1.0)
                     t = t_sgn * jnp.maximum(jnp.abs(t), 1e-12)
                     v2cs.append(t)
+                    # keep |prod| >= 1e-30: a chain of <=dmax floors at
+                    # 1e-12 can underflow into f32 denormals, which Mosaic
+                    # does not flush — denormal arithmetic microtraps
+                    # dominate the kernel. Clamped extrinsics are ~0 anyway.
                     prod = prod * t
+                    prod = jnp.where(prod < 0.0, -1.0, 1.0) * jnp.maximum(
+                        jnp.abs(prod), 1e-30)
             if kind == "MS":
                 m1 = jnp.where(m1 >= _BIG, 0.0, m1)
                 m2 = jnp.where(m2 >= _BIG, 0.0, m2)

@@ -139,7 +139,11 @@ def _make_kernel(st: QCStructure, beta: float, max_iter: int, B_blk: int,
                     t = jnp.tanh(v * 0.5)
                     t_sgn = jnp.where(t < 0.0, -1.0, 1.0)
                     t = t_sgn * jnp.maximum(jnp.abs(t), _TANH_FLOOR)
+                    # keep |prod| out of f32 denormals (Mosaic does not
+                    # flush them; denormal microtraps dominate the kernel)
                     prod = prod * t
+                    prod = jnp.where(prod < 0.0, -1.0, 1.0) * jnp.maximum(
+                        jnp.abs(prod), 1e-30)
                     loaded.append((pos, old, t, j, v_idx))
             if kind == "MS":
                 m1 = jnp.where(m1 >= _BIG, 0.0, m1)
