@@ -51,6 +51,8 @@ def run_config(name, code_name, p_list, shots, dec_type, iters, schedule,
             "avg_iters_X": round(r.avg_iterations_x, 3),
             "avg_iters_Z": round(r.avg_iterations_z, 3),
             "shots_per_s": round(r.shots_per_s, 1),
+            "shots_per_s_warm": round(r.shots_per_s_warm, 1)
+            if r.shots_per_s_warm == r.shots_per_s_warm else None,
         })
         print(json.dumps(rows[-1]), flush=True)  # incremental progress
     return rows

@@ -320,6 +320,8 @@ def simulate_p(Hx: np.ndarray, Hz: np.ndarray, p: float,
             totals, start_chunk = saved
 
     t0 = time.perf_counter()
+    t_first = None  # set after the first chunk (jit compile lands there)
+    warm_shots = 0
     from qldpcsim_tpu.parallel.mesh import chunk_keys
 
     for c in range(start_chunk, n_chunks):
@@ -349,6 +351,10 @@ def simulate_p(Hx: np.ndarray, Hz: np.ndarray, p: float,
                 counts = pipe._chunk_counts(keys, jnp.float32(p),
                                             jnp.int32(n_valid))
         counts = jax.device_get(counts)
+        if t_first is None:
+            t_first = time.perf_counter()
+        else:
+            warm_shots += n_valid
         for k in _COUNTER_KEYS:
             totals[k] += int(counts[k])
         if store is not None:
@@ -357,7 +363,10 @@ def simulate_p(Hx: np.ndarray, Hz: np.ndarray, p: float,
             done_shots = min((c + 1) * batch, shots)
             print(f"\r(p={p:5.2e}) decoded {done_shots}/{shots} shots",
                   end="", flush=True)
-    elapsed = time.perf_counter() - t0
+    t_end = time.perf_counter()
+    elapsed = t_end - t0
+    warm_elapsed = (t_end - t_first) if (t_first is not None
+                                         and warm_shots) else float("nan")
     if cfg.progress:
         print()
 
@@ -368,6 +377,8 @@ def simulate_p(Hx: np.ndarray, Hz: np.ndarray, p: float,
         avg_iterations_x=totals["nIterAccX"] / float(shots),
         avg_iterations_z=totals["nIterAccZ"] / float(shots),
         wall_time_s=elapsed,
+        warm_time_s=warm_elapsed,
+        warm_shots=warm_shots,
     )
 
 

@@ -16,6 +16,10 @@ class PPointResult:
     avg_iterations_x: float
     avg_iterations_z: float
     wall_time_s: float = 0.0
+    # Wall time excluding the first chunk (jit compile lands there); NaN
+    # when the p-point ran as a single chunk.
+    warm_time_s: float = float("nan")
+    warm_shots: int = 0
 
     @property
     def qbler(self) -> float:
@@ -32,6 +36,14 @@ class PPointResult:
     @property
     def shots_per_s(self) -> float:
         return self.shots / self.wall_time_s if self.wall_time_s else float("nan")
+
+    @property
+    def shots_per_s_warm(self) -> float:
+        """Steady-state throughput: first chunk (which pays jit compile)
+        excluded. NaN for single-chunk runs."""
+        if self.warm_shots and self.warm_time_s == self.warm_time_s:
+            return self.warm_shots / self.warm_time_s
+        return float("nan")
 
     def to_dict(self) -> dict:
         return {
