@@ -58,6 +58,19 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
     L, n, m = st.L, st.n, st.m
     blocks = [st.blocks_of_row(i) for i in range(st.m_b)]
     n_b = st.n_b
+    # column map: var block j -> [(block-row i2, shift s2), ...]
+    col_map = [[] for _ in range(n_b)]
+    for i2 in range(st.m_b):
+        for (j2, s2) in blocks[i2]:
+            col_map[j2].append((i2, s2))
+    # Layered schedules check convergence after EVERY group; recomputing the
+    # full syndrome estimate there costs len(groups)*E_b rolls per iteration
+    # (~6.5x the message-update rolls on LP118). Instead carry the mismatch
+    # blocks mis_i = (H e XOR syn) restricted to block-row i and XOR into
+    # them only the bits each layer actually flips (col-weight rolls per
+    # touched var block). Flooding checks once per pass, where the full
+    # recompute costs the same — keep it there.
+    track_mis = len(layer_groups) > 1
 
     f32 = jnp.float32
 
@@ -94,9 +107,10 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
             it_lat = it_lat + newly * ((it + 1).astype(f32) - it_lat)
             return jnp.maximum(done, ok), it_lat
 
-        def one_block_row(i, c2v, post_blocks, snapshot, active_f):
+        def one_block_row(i, c2v, post_blocks, snapshot, active_f, mis):
             """CN update of block-row i against `snapshot`, applying deltas
-            to `post_blocks`. active_f: (1, B) 0/1 freeze mask."""
+            to `post_blocks` (and flipped bits into `mis` when tracked).
+            active_f: (1, B) 0/1 freeze mask."""
             bl = blocks[i]
             row = list(c2v[i])                               # slot -> (L, B)
             ss = syn_sign[i * L:(i + 1) * L]                 # (L, B)
@@ -141,6 +155,7 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
                 clamp = 1.0 - eps
             # pass 2: extrinsic messages + state writeback
             post_blocks = list(post_blocks)
+            mis = list(mis)
             for d, (j, s) in enumerate(bl):
                 v = v2cs[d]
                 if kind == "MS":
@@ -155,20 +170,41 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
                 delta = (new_c2v - row[d]) * active_f
                 row[d] = row[d] + delta
                 back = _roll_up(delta, (L - s) % L, L)
-                post_blocks[j] = post_blocks[j] + back
+                if track_mis:
+                    old_neg = (post_blocks[j] < 0.0).astype(f32)
+                    post_blocks[j] = post_blocks[j] + back
+                    new_neg = (post_blocks[j] < 0.0).astype(f32)
+                    flip = old_neg + new_neg - 2.0 * old_neg * new_neg
+                    for (i2, s2) in col_map[j]:
+                        r = _roll_up(flip, s2, L)
+                        mis[i2] = mis[i2] + r * (1.0 - 2.0 * mis[i2])
+                else:
+                    post_blocks[j] = post_blocks[j] + back
             c2v = c2v[:i] + (tuple(row),) + c2v[i + 1:]
-            return c2v, tuple(post_blocks)
+            return c2v, tuple(post_blocks), tuple(mis)
+
+        def check_mis(mis, done, it_lat, it):
+            bad = jnp.zeros((1, B_blk), f32)
+            for i2 in range(st.m_b):
+                bad = bad + jnp.sum(mis[i2], axis=0, keepdims=True)
+            ok = (bad == 0.0).astype(f32)
+            newly = ok * (1.0 - done)
+            it_lat = it_lat + newly * ((it + 1).astype(f32) - it_lat)
+            return jnp.maximum(done, ok), it_lat
 
         def body(carry):
-            it, c2v, post_blocks, done, it_lat = carry
+            it, c2v, post_blocks, done, it_lat, mis = carry
             for group in layer_groups:
                 active_f = 1.0 - done
                 snapshot = post_blocks
                 for i in group:
-                    c2v, post_blocks = one_block_row(i, c2v, post_blocks,
-                                                     snapshot, active_f)
-                done, it_lat = check_all(post_blocks, done, it_lat, it)
-            return it + 1, c2v, post_blocks, done, it_lat
+                    c2v, post_blocks, mis = one_block_row(
+                        i, c2v, post_blocks, snapshot, active_f, mis)
+                if track_mis:
+                    done, it_lat = check_mis(mis, done, it_lat, it)
+                else:
+                    done, it_lat = check_all(post_blocks, done, it_lat, it)
+            return it + 1, c2v, post_blocks, done, it_lat, mis
 
         def cond(carry):
             return (carry[0] < max_iter) & (jnp.min(carry[3]) < 0.5)
@@ -180,8 +216,12 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
             tuple(jnp.full((L, B_blk), L_ch, f32) for _ in range(n_b)),
             jnp.zeros((1, B_blk), f32),
             jnp.full((1, B_blk), float(max_iter), f32),
+            # mismatch blocks: initial estimate is e=0 (L_ch>0) => mis = syn
+            tuple(syn[i * L:(i + 1) * L] for i in range(st.m_b))
+            if track_mis else (),
         )
-        _, _, post_blocks, done, it_lat = jax.lax.while_loop(cond, body, carry)
+        _, _, post_blocks, done, it_lat, _ = jax.lax.while_loop(
+            cond, body, carry)
 
         posterior = jnp.concatenate(post_blocks, axis=0)
         e_ref[...] = (posterior < 0.0).astype(jnp.float32)
