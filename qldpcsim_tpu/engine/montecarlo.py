@@ -29,6 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qldpcsim_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from qldpcsim_tpu.channel.depolarizing import sample_shot_tiles
 from qldpcsim_tpu.decoders import (
     DecoderConfig,
@@ -175,7 +179,12 @@ class ShotPipeline:
                                   platform=dcfg.platform)
             self._osd_apply_x = jax.jit(self._make_osd_apply(self.osd_x))
             self._osd_apply_z = jax.jit(self._make_osd_apply(self.osd_z))
-            self._osd_cap = 256  # fixed bucket (see _run_osd_side)
+            # Tiered fixed buckets (see _run_osd_side): the small bucket
+            # serves the common few-failures chunk at ~1/4 the padded work;
+            # the large one bounds the pass count when failures spike. Two
+            # shapes total per side — recompilation stays bounded and the
+            # persistent compilation cache makes even that one-time.
+            self._osd_caps = (64, 256)
 
         n_dev = cfg.mesh.devices.size if cfg.mesh is not None else 1
         self.batch = cfg.batch_size or _auto_batch(self.n, cfg.shots, n_dev)
@@ -268,10 +277,13 @@ class ShotPipeline:
         failed = np.nonzero(~conv)[0]
         if failed.size == 0:
             return
-        # ONE fixed bucket size per pipeline: variable bucket sizes would
-        # recompile the OSD jit per new size (minutes each on the remote
-        # TPU compiler); overflow just runs additional same-shape passes.
-        cap = self._osd_cap
+        # FIXED bucket sizes only: variable bucket sizes would recompile the
+        # OSD jit per new size (minutes each on the remote TPU compiler);
+        # overflow just runs additional same-shape passes. The smallest
+        # bucket that fits the whole failed set is chosen; oversized sets
+        # loop the largest bucket.
+        cap = next((c for c in self._osd_caps if failed.size <= c),
+                   self._osd_caps[-1])
         apply = self._osd_apply_x if side == "x" else self._osd_apply_z
         ehk = "ex_hat" if side == "x" else "ez_hat"
         syk = "sy_z" if side == "x" else "sy_x"

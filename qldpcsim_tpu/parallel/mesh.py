@@ -22,6 +22,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from qldpcsim_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def cpu_fallback_device():
     """Return a CPU device, enabling the cpu platform alongside the session's
