@@ -80,6 +80,11 @@ class SimConfig:
                                   # segfaults on tiny decode graphs
     impl: str = "auto"            # decoder implementation override
                                   # (DecoderConfig.impl): auto|edge|mxu|seq|qc
+    dispatch_chunks: int = 0      # chunks fused per device dispatch via
+                                  # lax.scan (0 = auto). Amortizes host->device
+                                  # dispatch latency (large over the remote
+                                  # TPU tunnel); counters are summed on device
+                                  # so a G-chunk group costs ONE round trip.
 
     def decoder_config(self) -> DecoderConfig:
         return DecoderConfig(
@@ -198,11 +203,17 @@ class ShotPipeline:
         self.tiles_per_chunk = self.batch // self.tile
 
         if cfg.mesh is not None:
-            from qldpcsim_tpu.parallel.mesh import shard_chunk_fn
+            from qldpcsim_tpu.parallel.mesh import (shard_chunk_fn,
+                                                    shard_multi_chunk_fn)
 
             self._chunk_counts = shard_chunk_fn(cfg.mesh, self._chunk_body)
+            self._multi_counts = shard_multi_chunk_fn(cfg.mesh,
+                                                      self._multi_chunk_body)
         else:
             self._chunk_counts = jax.jit(self._chunk_body)
+            self._multi_counts = jax.jit(self._multi_chunk_body)
+        self.dispatch_chunks = cfg.dispatch_chunks or max(
+            1, min(32, 131072 // max(1, self.batch)))
         # OSD two-stage path: under a mesh the stage functions rely on
         # sharding propagation — simulate_p device_puts the tile keys with a
         # ('shots',) sharding and XLA partitions stage1/stage2 (counter sums
@@ -233,6 +244,19 @@ class ShotPipeline:
         res_z = self.dec_z(sy_x, prior)
         return self._count(err_x, err_z, res_x.e_hat, res_z.e_hat,
                            sy_z, sy_x, res_x.n_iter, res_z.n_iter, n_valid)
+
+    def _multi_chunk_body(self, keys, p, n_valids):
+        """G fused chunks in one dispatch: lax.scan over per-chunk tile keys,
+        counters summed on device. keys: (G, tiles, 2); n_valids: (G,).
+        Padding chunks carry n_valid=0 and contribute nothing (every counter
+        is masked by the valid lane mask in _count)."""
+
+        def step(_, xs):
+            k, nv = xs
+            return None, self._chunk_body(k, p, nv)
+
+        _, per_chunk = jax.lax.scan(step, None, (keys, n_valids))
+        return {k: jnp.sum(v, axis=0) for k, v in per_chunk.items()}
 
     def _count(self, err_x, err_z, ex_hat, ez_hat, sy_z, sy_x,
                it_x, it_z, n_valid):
@@ -336,14 +360,20 @@ def simulate_p(Hx: np.ndarray, Hz: np.ndarray, p: float,
     warm_shots = 0
     from qldpcsim_tpu.parallel.mesh import chunk_keys
 
-    for c in range(start_chunk, n_chunks):
-        n_valid = min(batch, shots - c * batch)
+    # OSD needs host-side failed-shot compaction per chunk, so it keeps the
+    # one-dispatch-per-chunk loop; the fused path scans G chunks per dispatch
+    # (counters summed on device — one host round trip per G chunks).
+    G = 1 if pipe.use_osd else min(pipe.dispatch_chunks,
+                                   n_chunks - start_chunk)
+    G = max(G, 1)
+    tpc = pipe.tiles_per_chunk
+    for c in range(start_chunk, n_chunks, G):
+        group_valid = min(G * batch, shots - c * batch)
         with pipe.device_ctx():
-            # Global tile stream: chunk c owns tiles
-            # [c * tiles_per_chunk, (c+1) * tiles_per_chunk).
-            keys = chunk_keys(key, c * pipe.tiles_per_chunk,
-                              pipe.tiles_per_chunk)
+            # Global tile stream: chunk c owns tiles [c * tpc, (c+1) * tpc).
+            keys = chunk_keys(key, c * tpc, G * tpc)
             if pipe.use_osd:
+                n_valid = min(batch, shots - c * batch)
                 if cfg.mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -353,26 +383,30 @@ def simulate_p(Hx: np.ndarray, Hz: np.ndarray, p: float,
                                                  jnp.int32(n_valid))
             elif cfg.mesh is not None:
                 ndev, per_dev = pipe.n_dev, pipe.per_dev
-                keys = keys.reshape(ndev, pipe.tiles_per_dev, -1)
-                base = c * batch
-                nv = np.clip(shots - base - np.arange(ndev) * per_dev,
+                # keys[d, i] = tiles of chunk c+i owned by device d
+                keys = keys.reshape(G, ndev, pipe.tiles_per_dev, -1)
+                keys = jnp.swapaxes(keys, 0, 1)
+                base = (c + np.arange(G)[None, :]) * batch  # (1, G)
+                nv = np.clip(shots - base - np.arange(ndev)[:, None] * per_dev,
                              0, per_dev)
-                counts = pipe._chunk_counts(keys, jnp.float32(p),
+                counts = pipe._multi_counts(keys, jnp.float32(p),
                                             jnp.asarray(nv, jnp.int32))
             else:
-                counts = pipe._chunk_counts(keys, jnp.float32(p),
-                                            jnp.int32(n_valid))
+                keys = keys.reshape(G, tpc, -1)
+                nv = np.clip(shots - (c + np.arange(G)) * batch, 0, batch)
+                counts = pipe._multi_counts(keys, jnp.float32(p),
+                                            jnp.asarray(nv, jnp.int32))
         counts = jax.device_get(counts)
         if t_first is None:
             t_first = time.perf_counter()
         else:
-            warm_shots += n_valid
+            warm_shots += group_valid
         for k in _COUNTER_KEYS:
             totals[k] += int(counts[k])
         if store is not None:
-            store.save(ckpt_id, totals, c + 1)
+            store.save(ckpt_id, totals, min(c + G, n_chunks))
         if cfg.progress:
-            done_shots = min((c + 1) * batch, shots)
+            done_shots = min((c + G) * batch, shots)
             print(f"\r(p={p:5.2e}) decoded {done_shots}/{shots} shots",
                   end="", flush=True)
     t_end = time.perf_counter()

@@ -96,3 +96,27 @@ def shard_chunk_fn(mesh: Mesh, chunk_fn: Callable, axis: str = "shots"):
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def shard_multi_chunk_fn(mesh: Mesh, multi_fn: Callable, axis: str = "shots"):
+    """Shot-sharded wrapper for the fused multi-chunk body.
+
+    multi_fn(keys, p, n_valids) scans G chunks on one device and returns
+    summed counters. The wrapped function takes keys (ndev, G, tiles, 2) and
+    n_valids (ndev, G); each device runs its G-chunk scan, then the counter
+    dict is psum-reduced over the mesh — one collective per G chunks instead
+    of one per chunk."""
+    from jax import shard_map
+
+    def per_device(keys, p, n_valids):
+        counts = multi_fn(keys[0], p, n_valids[0])
+        return {k: jax.lax.psum(v, axis) for k, v in counts.items()}
+
+    sharded = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
