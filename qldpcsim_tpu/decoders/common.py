@@ -197,6 +197,10 @@ class DecoderConfig:
                                   # iteration cap; 0 = auto (12 when
                                   # max_iter > 16), -1 = disable
     compact_cap_frac: float = 0.125  # round-2 capacity as fraction of batch
+    qc_check_every: str = "iter"  # QC Pallas kernel convergence-check
+                                  # granularity: "iter" (once per iteration,
+                                  # fastest) | "layer" (reference's per-layer
+                                  # exit granularity, decoders.py:174-176)
     impl: str = "auto"            # MS kernel: "auto" | "edge" (bit-exact
                                   # reference-parity path) | "mxu" (incidence-
                                   # matmul fast path; fp association differs)

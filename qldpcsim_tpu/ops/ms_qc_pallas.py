@@ -54,7 +54,8 @@ def _roll_up(x, s: int, L: int):
 
 
 def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
-                 B_blk: int, kind: str = "MS", eps: float = 1e-6):
+                 B_blk: int, kind: str = "MS", eps: float = 1e-6,
+                 check_every: str = "iter"):
     L, n, m = st.L, st.n, st.m
     blocks = [st.blocks_of_row(i) for i in range(st.m_b)]
     n_b = st.n_b
@@ -63,14 +64,18 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
     for i2 in range(st.m_b):
         for (j2, s2) in blocks[i2]:
             col_map[j2].append((i2, s2))
-    # Layered schedules check convergence after EVERY group; recomputing the
-    # full syndrome estimate there costs len(groups)*E_b rolls per iteration
-    # (~6.5x the message-update rolls on LP118). Instead carry the mismatch
-    # blocks mis_i = (H e XOR syn) restricted to block-row i and XOR into
-    # them only the bits each layer actually flips (col-weight rolls per
-    # touched var block). Flooding checks once per pass, where the full
-    # recompute costs the same — keep it there.
-    track_mis = len(layer_groups) > 1
+    # Convergence-check granularity. The reference exits after EVERY layer
+    # (decoders.py:174-176). check_every="layer" reproduces that granularity
+    # by carrying the mismatch blocks mis_i = (H e XOR syn) and XORing into
+    # them only the bits each layer flips (col-weight rolls per touched var
+    # block) — still ~3x the message-update roll count. check_every="iter"
+    # (default) checks once per iteration via a full recompute (+~50% rolls):
+    # the REPORTED iteration count is identical for shots that converge and
+    # stay converged within the iteration (the reference counts whole
+    # iterations), and the rare shot whose mid-iteration match is broken by
+    # a later layer of the same iteration lands in the statistical parity
+    # class like every fast-path divergence (DIVERGENCES.md).
+    track_mis = len(layer_groups) > 1 and check_every == "layer"
 
     f32 = jnp.float32
 
@@ -194,16 +199,21 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
 
         def body(carry):
             it, c2v, post_blocks, done, it_lat, mis = carry
+            per_layer = track_mis or len(layer_groups) == 1
+            active_f = 1.0 - done
             for group in layer_groups:
-                active_f = 1.0 - done
+                if per_layer:
+                    active_f = 1.0 - done
                 snapshot = post_blocks
                 for i in group:
                     c2v, post_blocks, mis = one_block_row(
                         i, c2v, post_blocks, snapshot, active_f, mis)
                 if track_mis:
                     done, it_lat = check_mis(mis, done, it_lat, it)
-                else:
+                elif per_layer:
                     done, it_lat = check_all(post_blocks, done, it_lat, it)
+            if not per_layer:  # check_every="iter": one check per iteration
+                done, it_lat = check_all(post_blocks, done, it_lat, it)
             return it + 1, c2v, post_blocks, done, it_lat, mis
 
         def cond(carry):
@@ -259,7 +269,8 @@ def make_qc_decoder(st: QCStructure, cfg: DecoderConfig,
     n, m = st.n, st.m
     kernel = _make_kernel(st, layer_groups, float(cfg.beta),
                           int(cfg.max_iter), B_blk, kind=kind.upper(),
-                          eps=float(cfg.eps))
+                          eps=float(cfg.eps),
+                          check_every=getattr(cfg, "qc_check_every", "iter"))
 
     @functools.partial(jax.jit, static_argnames=())
     def _run(syn_T, lch):

@@ -54,6 +54,41 @@ def test_reproducibility_and_batch_invariance():
     assert r1.avg_iterations_x == r2.avg_iterations_x
 
 
+def test_fused_dispatch_counter_parity():
+    """G-chunk fused dispatch (lax.scan) totals == per-chunk totals, and
+    simulate_p is invariant to the dispatch grouping."""
+    import jax
+    import jax.numpy as jnp
+
+    from qldpcsim_tpu.parallel.mesh import chunk_keys
+
+    code = get_code("steane")
+    cfg = SimConfig(shots=512, dec_iterations=20, rng_seed=11, batch_size=128)
+    pipe = ShotPipeline(code.Hx, code.Hz, cfg)
+    key = jax.random.fold_in(jax.random.PRNGKey(11), 0)
+    tpc = pipe.tiles_per_chunk
+    G = 4
+    keys = chunk_keys(key, 0, G * tpc)
+    fused = jax.device_get(pipe._multi_counts(
+        keys.reshape(G, tpc, -1), jnp.float32(0.03),
+        jnp.full((G,), 128, jnp.int32)))
+    per = {}
+    for c in range(G):
+        o = jax.device_get(pipe._chunk_counts(
+            chunk_keys(key, c * tpc, tpc), jnp.float32(0.03), jnp.int32(128)))
+        for k, v in o.items():
+            per[k] = per.get(k, 0) + int(v)
+    assert {k: int(v) for k, v in fused.items()} == per
+
+    # simulate_p grouping invariance (dispatch_chunks 1 vs 4 vs padded 3).
+    rs = [simulate_p(code.Hx, code.Hz, 0.03,
+                     SimConfig(shots=512, dec_iterations=20, rng_seed=11,
+                               batch_size=128, dispatch_chunks=g))
+          for g in (1, 3, 4)]
+    assert rs[0].counters == rs[1].counters == rs[2].counters
+    assert rs[0].avg_iterations_x == rs[1].avg_iterations_x
+
+
 def test_partial_final_chunk_counts_exactly():
     code = get_code("steane")
     cfg = SimConfig(shots=333, dec_iterations=10, rng_seed=2, batch_size=128)

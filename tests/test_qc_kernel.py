@@ -110,6 +110,36 @@ def test_qc_kernel_syndrome_consistency():
     assert ((e @ H.T.astype(np.int64)) % 2 == np.asarray(syn))[conv].all()
 
 
+def test_qc_kernel_check_granularity():
+    """iter-granularity convergence checks (default) vs the reference's
+    per-layer granularity: both syndrome-consistent; iteration counts agree
+    except for the rare shot whose mid-iteration match breaks later in the
+    same iteration."""
+    import dataclasses
+
+    rng = np.random.default_rng(23)
+    H = np.asarray(get_code("lp04_0").Hz)
+    st = detect_qc(H)
+    layers = build_layers(H, "L")
+    base = DecoderConfig(dec_type="MS", max_iter=10, schedule="L")
+    syn = _syn(rng, H, 32, 0.03)
+    res = {}
+    for chk in ("layer", "iter"):
+        cfg = dataclasses.replace(base, qc_check_every=chk)
+        dec = make_ms_qc_decoder(st, cfg, layers=layers, B_blk=32,
+                                 interpret=True)
+        r = dec(syn, 0.015)
+        conv = np.asarray(r.converged)
+        e = np.asarray(r.e_hat).astype(np.int64)
+        assert ((e @ H.T.astype(np.int64)) % 2 == np.asarray(syn))[conv].all()
+        res[chk] = (conv, np.asarray(r.n_iter))
+    conv_l, it_l = res["layer"]
+    conv_i, it_i = res["iter"]
+    assert (conv_l == conv_i).mean() >= 0.95
+    both = conv_l & conv_i
+    assert (it_l[both] == it_i[both]).mean() >= 0.9
+
+
 def test_gf2_elim_pallas_matches_xla():
     """Pallas bit-packed elimination (interpret mode) vs the XLA sweep in
     decoders/osd.py: identical tags, pivots and basis-column selection."""
