@@ -24,16 +24,26 @@ import jax
 import jax.numpy as jnp
 
 
+def _u32_threshold(q):
+    """round(q * 2^32) as uint32 (clamped). P(bits32 < t) = t / 2^32, so the
+    threshold quantization error is <= 2^-24 relative (f32 mantissa) — the
+    same class as the f32-uniform formulation it replaces, which quantizes
+    the draw itself to 24 bits."""
+    t = jnp.round(jnp.asarray(q, jnp.float32) * 4294967296.0)
+    return jnp.clip(t, 0.0, 4294967040.0).astype(jnp.uint32)  # largest f32 < 2^32
+
+
 def sample_depolarizing(key, p, shape):
     """Sample (errX, errZ) bool arrays of `shape` under DEPOLARIZE1(p).
 
-    One uniform draw per qubit partitions [0, 1) into
-    [0, p/3) -> X, [p/3, 2p/3) -> Y, [2p/3, p) -> Z, [p, 1) -> I.
-    """
+    One 32-bit draw per qubit partitions [0, 2^32) into
+    [0, p/3) -> X, [p/3, 2p/3) -> Y, [2p/3, p) -> Z, [p, 1) -> I (scaled by
+    2^32). Raw integer threshold compares skip the int->float conversion of
+    jax.random.uniform at identical (2^-24) threshold resolution."""
     p = jnp.asarray(p, dtype=jnp.float32)
-    u = jax.random.uniform(key, shape, dtype=jnp.float32)
-    err_x = u < (2.0 * p / 3.0)
-    err_z = (u >= p / 3.0) & (u < p)
+    bits = jax.random.bits(key, shape, jnp.uint32)
+    err_x = bits < _u32_threshold(2.0 * p / 3.0)
+    err_z = (bits >= _u32_threshold(p / 3.0)) & (bits < _u32_threshold(p))
     return err_x, err_z
 
 
@@ -45,8 +55,14 @@ def syndromes_of(err_x, err_z, Hx_T, Hz_T):
     measurement record (sy_z first; simulator.py:141-144, 249-250).
     """
     f32 = jnp.float32
-    sy_z = jnp.mod(jnp.dot(err_x.astype(f32), Hz_T, preferred_element_type=f32), 2.0)
-    sy_x = jnp.mod(jnp.dot(err_z.astype(f32), Hx_T, preferred_element_type=f32), 2.0)
+    bf = jnp.bfloat16
+    # bf16 inputs are exact for 0/1 entries; the MXU accumulates in f32
+    # (preferred_element_type), so the mod-2 of the integer overlap count is
+    # exact at double the MXU rate of an f32 matmul.
+    sy_z = jnp.mod(jnp.dot(err_x.astype(bf), jnp.asarray(Hz_T, bf),
+                           preferred_element_type=f32), 2.0)
+    sy_x = jnp.mod(jnp.dot(err_z.astype(bf), jnp.asarray(Hx_T, bf),
+                           preferred_element_type=f32), 2.0)
     return sy_z, sy_x
 
 

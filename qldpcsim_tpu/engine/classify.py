@@ -68,12 +68,21 @@ def classify_batch(st: ClassifierStatic, err_x, err_z, ex_hat, ez_hat,
 
     exact = (~jnp.any(rx, axis=-1)) & (~jnp.any(rz, axis=-1))
 
-    # Reference-compatible degenerate test (integer matmul, no mod — L2).
-    ov_x = jnp.dot(rx.astype(f32), jnp.asarray(st.Hz.T, f32),
-                   preferred_element_type=f32)
-    ov_z = jnp.dot(rz.astype(f32), jnp.asarray(st.Hx.T, f32),
-                   preferred_element_type=f32)
-    ref_degen = (~exact) & jnp.all(ov_x == 0.0, axis=-1) & jnp.all(ov_z == 0.0, axis=-1)
+    # ONE residual matmul per side against [H.T | L.T] (integer counts, no
+    # mod): the H block serves both the reference-compatible degenerate test
+    # (zero overlap, L2) and — via parity — the undetected-residual test; the
+    # L block gives the logical-flip syndrome. bf16 inputs (0/1 exact), f32
+    # MXU accumulation.
+    k = st.Lx.shape[0]
+    bf = jnp.bfloat16
+    HLz_T = jnp.asarray(np.concatenate([st.Hz.T, st.Lz.T], axis=1), bf)
+    HLx_T = jnp.asarray(np.concatenate([st.Hx.T, st.Lx.T], axis=1), bf)
+    mz = st.Hz.shape[0]
+    mx = st.Hx.shape[0]
+    ov_x = jnp.dot(rx.astype(bf), HLz_T, preferred_element_type=f32)
+    ov_z = jnp.dot(rz.astype(bf), HLx_T, preferred_element_type=f32)
+    ref_degen = (~exact) & jnp.all(ov_x[:, :mz] == 0.0, axis=-1) \
+        & jnp.all(ov_z[:, :mx] == 0.0, axis=-1)
 
     # Decoder failures: decoded syndrome mismatch (simulator.py:300-303).
     syn_zhat = _mm2(ex_hat, jnp.asarray(st.Hz.T, f32))
@@ -81,13 +90,15 @@ def classify_batch(st: ClassifierStatic, err_x, err_z, ex_hat, ez_hat,
     fail_x = jnp.any(syn_zhat != sy_z.astype(f32), axis=-1)
     fail_z = jnp.any(syn_xhat != sy_x.astype(f32), axis=-1)
 
-    # Honest classification.
-    undet_x = ~jnp.any(_mm2(rx, jnp.asarray(st.Hz.T, f32)), axis=-1)
-    undet_z = ~jnp.any(_mm2(rz, jnp.asarray(st.Hx.T, f32)), axis=-1)
-    k = st.Lx.shape[0]
+    # Honest classification (parity of the integer overlap counts).
+    def _odd(v):
+        return v - 2.0 * jnp.floor(v * 0.5) > 0.5
+
+    undet_x = ~jnp.any(_odd(ov_x[:, :mz]), axis=-1)
+    undet_z = ~jnp.any(_odd(ov_z[:, :mx]), axis=-1)
     if k:
-        log_x = jnp.any(_mm2(rx, jnp.asarray(st.Lz.T, f32)), axis=-1) & undet_x
-        log_z = jnp.any(_mm2(rz, jnp.asarray(st.Lx.T, f32)), axis=-1) & undet_z
+        log_x = jnp.any(_odd(ov_x[:, mz:]), axis=-1) & undet_x
+        log_z = jnp.any(_odd(ov_z[:, mx:]), axis=-1) & undet_z
     else:
         log_x = jnp.zeros(rx.shape[0], bool)
         log_z = jnp.zeros(rz.shape[0], bool)

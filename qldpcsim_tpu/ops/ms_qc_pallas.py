@@ -45,11 +45,20 @@ _PRIOR_EPS = 1e-9
 _BIG = 1e30  # stand-in for +inf in min reductions (inf-inf arithmetic safe)
 
 
+import os
+
+_PLTPU_ROLL = os.environ.get("QLDPC_QC_PLTPU_ROLL", "0") == "1"
+
+
 def _roll_up(x, s: int, L: int):
     """Cyclic roll of an (L, B) block: out[r] = x[(r + s) % L]."""
     if s % L == 0:
         return x
     s = s % L
+    if _PLTPU_ROLL:
+        from jax.experimental.pallas import tpu as pltpu
+
+        return pltpu.roll(x, shift=L - s, axis=0)
     return jnp.concatenate([x[s:], x[:s]], axis=0)
 
 
