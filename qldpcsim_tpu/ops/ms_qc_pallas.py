@@ -45,20 +45,16 @@ _PRIOR_EPS = 1e-9
 _BIG = 1e30  # stand-in for +inf in min reductions (inf-inf arithmetic safe)
 
 
-import os
-
-_PLTPU_ROLL = os.environ.get("QLDPC_QC_PLTPU_ROLL", "0") == "1"
-
-
 def _roll_up(x, s: int, L: int):
-    """Cyclic roll of an (L, B) block: out[r] = x[(r + s) % L]."""
+    """Cyclic roll of an (L, B) block: out[r] = x[(r + s) % L].
+
+    Static-slice concatenate, deliberately: `pltpu.roll` measured ~1.4x
+    SLOWER end-to-end on this kernel (v5e, LP118 flagship micro: 730k vs
+    1046k shots/s) — Mosaic lowers the concat of two static sublane slices
+    better than the generic rotate for these (L<=32, B=128) tiles."""
     if s % L == 0:
         return x
     s = s % L
-    if _PLTPU_ROLL:
-        from jax.experimental.pallas import tpu as pltpu
-
-        return pltpu.roll(x, shift=L - s, axis=0)
     return jnp.concatenate([x[s:], x[:s]], axis=0)
 
 
@@ -253,7 +249,7 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
 
 def make_qc_decoder(st: QCStructure, cfg: DecoderConfig,
                     layers: Optional[LayerSchedule] = None,
-                    B_blk: int = 128, interpret: bool = False,
+                    B_blk: Optional[int] = None, interpret: bool = False,
                     kind: str = "MS"):
     """Build decode(syndromes, p) -> DecodeResult running the Pallas QC
     kernel (kind 'MS' = normalized min-sum, 'BP' = tanh-product sum-product).
@@ -262,6 +258,10 @@ def make_qc_decoder(st: QCStructure, cfg: DecoderConfig,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if B_blk is None:
+        import os
+
+        B_blk = int(os.environ.get("QLDPC_QC_BBLK", "128"))
     sched = cfg.schedule.upper()
     if sched == "F":
         layer_groups = [list(range(st.m_b))]
