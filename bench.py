@@ -27,7 +27,11 @@ P_POINT = 0.05
 MAX_ITER = 50
 SCHEDULE = "L"
 BATCH = 4096
-BENCH_CHUNKS = 16
+# Chunks fused per device dispatch (lax.scan). Each dispatch over the remote
+# tunnel costs ~3.3 ms regardless of payload (measured: a write-only Pallas
+# kernel floors there), so large groups amortize it: 16 -> 4.24M, 32 -> 4.45M,
+# 64 -> 4.66M, 128 -> 4.75M shots/s on the flagship.
+BENCH_CHUNKS = 128
 
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--impl", default="auto",

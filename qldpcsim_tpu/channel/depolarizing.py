@@ -88,3 +88,32 @@ def sample_shot_tiles(keys, p, n, tile, Hx_T, Hz_T):
     err_z = err_z.reshape(-1, n)
     sy_z, sy_x = syndromes_of(err_x, err_z, Hx_T, Hz_T)
     return err_x, err_z, sy_z, sy_x
+
+
+def sample_shot_tiles_hw(keys, p, n, tile, Hx_T, Hz_T):
+    """`sample_shot_tiles` with the Pallas hardware-PRNG bit source
+    (ops/channel_pallas.py; TPU only). Same per-tile key contract and
+    threshold math; different random stream — statistical parity class."""
+    from qldpcsim_tpu.ops.channel_pallas import default_bits, sample_tiles_hw
+
+    err_x, err_z = sample_tiles_hw(keys, p, n, tile, bits=default_bits())
+    sy_z, sy_x = syndromes_of(err_x, err_z, Hx_T, Hz_T)
+    return err_x, err_z, sy_z, sy_x
+
+
+def hw_sampler_available(platform: str = "auto") -> bool:
+    """Gate for the hardware-PRNG sampler: TPU backends only, opt-out via
+    QLDPC_DISABLE_HW_RNG=1 (mirrors the QC-kernel gating policy)."""
+    import os
+
+    if os.environ.get("QLDPC_DISABLE_HW_RNG") == "1":
+        return False
+    if platform == "cpu":
+        return False
+    if platform == "auto":
+        try:
+            backend = jax.default_backend().lower()
+        except Exception:
+            return False
+        return backend in ("tpu", "axon")
+    return platform in ("tpu", "axon")

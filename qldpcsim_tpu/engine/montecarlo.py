@@ -33,7 +33,11 @@ from qldpcsim_tpu.utils.jaxcache import enable_compilation_cache
 
 enable_compilation_cache()
 
-from qldpcsim_tpu.channel.depolarizing import sample_shot_tiles
+from qldpcsim_tpu.channel.depolarizing import (
+    hw_sampler_available,
+    sample_shot_tiles,
+    sample_shot_tiles_hw,
+)
 from qldpcsim_tpu.decoders import (
     DecoderConfig,
     TannerGraph,
@@ -170,6 +174,12 @@ class ShotPipeline:
                                     H_layerize=self.Hz if cfg.layer_compat else None)
         self.dec_x = make_decoder(graph_x, dcfg, layers=layers_x)
         self.dec_z = make_decoder(graph_z, dcfg, layers=layers_z)
+        # Channel bit source: TPU hardware PRNG (Pallas) when available —
+        # threefry's per-tile key schedule measured ~38% of the flagship
+        # pipeline (ops/channel_pallas.py). Same per-tile key contract.
+        self._sample = (sample_shot_tiles_hw
+                        if hw_sampler_available(dcfg.platform)
+                        else sample_shot_tiles)
         self.classifier = ClassifierStatic.build(self.Hx, self.Hz)
         # Host-side NumPy (embedded as trace-time constants; keeps pipeline
         # construction device-free and backend-agnostic).
@@ -213,7 +223,7 @@ class ShotPipeline:
             self._chunk_counts = jax.jit(self._chunk_body)
             self._multi_counts = jax.jit(self._multi_chunk_body)
         self.dispatch_chunks = cfg.dispatch_chunks or max(
-            1, min(32, 131072 // max(1, self.batch)))
+            1, min(128, 524288 // max(1, self.batch)))
         # OSD two-stage path: under a mesh the stage functions rely on
         # sharding propagation — simulate_p device_puts the tile keys with a
         # ('shots',) sharding and XLA partitions stage1/stage2 (counter sums
@@ -237,7 +247,7 @@ class ShotPipeline:
 
         tile_keys: (tiles_per_dev, 2) uint32, one key per global RNG tile.
         """
-        err_x, err_z, sy_z, sy_x = sample_shot_tiles(
+        err_x, err_z, sy_z, sy_x = self._sample(
             tile_keys, p, self.n, self.tile, self.Hx_T, self.Hz_T)
         prior = p / 3.0  # reference prior (landmine L3, simulator.py:278-279)
         res_x = self.dec_x(sy_z, prior)
@@ -271,7 +281,7 @@ class ShotPipeline:
     # ---------------- two-stage path (OSD) ----------------
 
     def _stage1_body(self, tile_keys, p):
-        err_x, err_z, sy_z, sy_x = sample_shot_tiles(
+        err_x, err_z, sy_z, sy_x = self._sample(
             tile_keys, p, self.n, self.tile, self.Hx_T, self.Hz_T)
         prior = p / 3.0
         res_x = self.dec_x(sy_z, prior)

@@ -70,3 +70,53 @@ def test_frame_invariance_of_syndromes():
     Hz = np.asarray(code.Hz).astype(np.int64)
     corrupted = np.asarray(fx).astype(np.int64) ^ np.asarray(ex).astype(np.int64)
     assert ((Hz @ corrupted.T) % 2 == (Hz @ np.asarray(ex).astype(np.int64).T) % 2).all()
+
+
+def test_hw_sampler_dithered_thresholds_unbiased():
+    """ops/channel_pallas: per-tile 16-bit thresholds are dithered so that
+    E[threshold] = q * 2^16 EXACTLY (no quantization bias), drawn purely
+    from the global tile key (deterministic + layout-invariant)."""
+    from qldpcsim_tpu.ops.channel_pallas import (_dithered_thresholds16,
+                                                 _thresholds32)
+    from qldpcsim_tpu.parallel.mesh import chunk_keys
+
+    keys = chunk_keys(jax.random.PRNGKey(7), 0, 4096)
+    p = 0.0371
+    thr = np.asarray(_dithered_thresholds16(keys, p))       # (4096, 3)
+    T32 = np.asarray(_thresholds32(p)).astype(np.float64)
+    base = np.floor(T32 / 65536.0)
+    # every tile's threshold is floor or floor+1
+    assert ((thr == base) | (thr == base + 1)).all()
+    # mean converges to the exact 16-bit-scaled threshold: frac has
+    # sd 0.5/sqrt(4096) ~ 0.008
+    exact = T32 / 65536.0
+    assert np.abs(thr.mean(axis=0) - exact).max() < 0.05
+    # deterministic + tile-local (layout invariance)
+    thr2 = np.asarray(_dithered_thresholds16(keys, p))
+    assert (thr == thr2).all()
+    sub = np.asarray(_dithered_thresholds16(keys[1024:], p))
+    assert (sub == thr[1024:]).all()
+
+
+def test_hw_sampler_kernel_on_tpu():
+    """Statistical + determinism checks of the Pallas hardware-PRNG channel
+    kernel (TPU only — compiled Mosaic kernel)."""
+    import pytest
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("hardware-PRNG sampler requires a TPU backend")
+    from qldpcsim_tpu.ops.channel_pallas import sample_tiles_hw
+    from qldpcsim_tpu.parallel.mesh import chunk_keys
+
+    keys = chunk_keys(jax.random.PRNGKey(0), 0, 256)
+    p, n, tile = 0.05, 544, 64
+    ex, ez = sample_tiles_hw(keys, p, n, tile, bits=16)
+    ex, ez = np.asarray(ex), np.asarray(ez)
+    N = ex.size
+    se = np.sqrt(2 * p / 3 * (1 - 2 * p / 3) / N)
+    assert abs(ex.mean() - 2 * p / 3) < 5 * se
+    assert abs(ez.mean() - 2 * p / 3) < 5 * se
+    ex2, _ = sample_tiles_hw(keys, p, n, tile, bits=16)
+    assert np.array_equal(ex, np.asarray(ex2))
+    ex3, _ = sample_tiles_hw(keys[128:], p, n, tile, bits=16)
+    assert np.array_equal(np.asarray(ex3), ex[128 * 64:])
