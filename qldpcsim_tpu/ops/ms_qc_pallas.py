@@ -60,7 +60,7 @@ def _roll_up(x, s: int, L: int):
 
 def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
                  B_blk: int, kind: str = "MS", eps: float = 1e-6,
-                 check_every: str = "iter"):
+                 check_every: str = "iter", dtype=jnp.float32):
     L, n, m = st.L, st.n, st.m
     blocks = [st.blocks_of_row(i) for i in range(st.m_b)]
     n_b = st.n_b
@@ -82,6 +82,15 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
     # class like every fast-path divergence (DIVERGENCES.md).
     track_mis = len(layer_groups) > 1 and check_every == "layer"
 
+    # Message/posterior state dtype `ct`. f32 is the validated default; bf16
+    # (QLDPC_QC_DTYPE=bf16) halves VMEM traffic for the carried state. All
+    # integer-valued arithmetic (0/1 sums < 256, sign parities, mod-2 floor
+    # tricks) is exact in bf16; message magnitudes round to 8 mantissa bits
+    # and the incrementally-updated posterior accumulates rounding drift —
+    # statistical parity class (validated by A/B qBLER, DIVERGENCES.md).
+    # done/it_lat masks and iteration counters stay f32: sub-tile (1, B)
+    # bf16 while-carries fail Mosaic layout legalization.
+    ct = dtype
     f32 = jnp.float32
 
     # All state lives in PYTREES of per-block (L, B_blk) arrays: every block
@@ -94,18 +103,18 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
             v = _roll_up(e_blocks[j], s, L)
             acc = v if acc is None else acc + v
         if acc is None:
-            return jnp.zeros((L, B_blk), f32)
+            return jnp.zeros((L, B_blk), ct)
         # sum of 0/1 over <= dmax blocks; mod 2 via floor trick on small ints
         return acc - 2.0 * jnp.floor(acc * 0.5)
 
     def kernel(syn_ref, lch_ref, e_ref, it_ref, conv_ref, post_ref):
         L_ch = lch_ref[0, 0]
-        syn = syn_ref[...].astype(f32)                       # (m, B)
+        syn = syn_ref[...].astype(ct)                        # (m, B)
         syn_sign = 1.0 - 2.0 * syn
 
         def check_all(post_blocks, done, it_lat, it):
-            e_blocks = tuple((pb < 0.0).astype(f32) for pb in post_blocks)
-            bad = jnp.zeros((1, B_blk), f32)
+            e_blocks = tuple((pb < 0.0).astype(ct) for pb in post_blocks)
+            bad = jnp.zeros((1, B_blk), ct)
             for i2 in range(st.m_b):
                 est = _syn_est_rows(e_blocks, i2)
                 diff = jnp.abs(est - syn[i2 * L:(i2 + 1) * L])
@@ -122,23 +131,24 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
             to `post_blocks` (and flipped bits into `mis` when tracked).
             active_f: (1, B) 0/1 freeze mask."""
             bl = blocks[i]
+            af = active_f.astype(ct)
             row = list(c2v[i])                               # slot -> (L, B)
             ss = syn_sign[i * L:(i + 1) * L]                 # (L, B)
             # pass 1: v2c per slot; running row reduction
             v2cs = []
             if kind == "MS":
-                m1 = jnp.full((L, B_blk), _BIG, f32)
-                m2 = jnp.full((L, B_blk), _BIG, f32)
-                neg_par = jnp.zeros((L, B_blk), f32)
+                m1 = jnp.full((L, B_blk), _BIG, ct)
+                m2 = jnp.full((L, B_blk), _BIG, ct)
+                neg_par = jnp.zeros((L, B_blk), ct)
             else:
-                prod = jnp.ones((L, B_blk), f32)
+                prod = jnp.ones((L, B_blk), ct)
             for d, (j, s) in enumerate(bl):
                 pos_r = _roll_up(snapshot[j], s, L)
                 v = pos_r - row[d]
                 if kind == "MS":
                     v2cs.append(v)
                     a = jnp.abs(v)
-                    neg_par = neg_par + (v < 0.0).astype(f32)
+                    neg_par = neg_par + (v < 0.0).astype(ct)
                     is_new_min = a < m1
                     m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, a))
                     m1 = jnp.where(is_new_min, a, m1)
@@ -169,7 +179,7 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
             for d, (j, s) in enumerate(bl):
                 v = v2cs[d]
                 if kind == "MS":
-                    sign = 1.0 - 2.0 * (v < 0.0).astype(f32)
+                    sign = 1.0 - 2.0 * (v < 0.0).astype(ct)
                     a = jnp.abs(v)
                     mag = jnp.where(a == m1, m2, m1)
                     new_c2v = coef * sign * mag
@@ -177,13 +187,13 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
                     th2 = jnp.clip(prod / v, -clamp, clamp)
                     # arctanh via log ((1+x)/(1-x)) — no Mosaic atanh lowering
                     new_c2v = ss * jnp.log((1.0 + th2) / (1.0 - th2))
-                delta = (new_c2v - row[d]) * active_f
+                delta = (new_c2v - row[d]) * af
                 row[d] = row[d] + delta
                 back = _roll_up(delta, (L - s) % L, L)
                 if track_mis:
-                    old_neg = (post_blocks[j] < 0.0).astype(f32)
+                    old_neg = (post_blocks[j] < 0.0).astype(ct)
                     post_blocks[j] = post_blocks[j] + back
-                    new_neg = (post_blocks[j] < 0.0).astype(f32)
+                    new_neg = (post_blocks[j] < 0.0).astype(ct)
                     flip = old_neg + new_neg - 2.0 * old_neg * new_neg
                     for (i2, s2) in col_map[j]:
                         r = _roll_up(flip, s2, L)
@@ -194,7 +204,7 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
             return c2v, tuple(post_blocks), tuple(mis)
 
         def check_mis(mis, done, it_lat, it):
-            bad = jnp.zeros((1, B_blk), f32)
+            bad = jnp.zeros((1, B_blk), ct)
             for i2 in range(st.m_b):
                 bad = bad + jnp.sum(mis[i2], axis=0, keepdims=True)
             ok = (bad == 0.0).astype(f32)
@@ -226,9 +236,9 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
 
         carry = (
             jnp.int32(0),
-            tuple(tuple(jnp.zeros((L, B_blk), f32) for _ in blocks[i])
+            tuple(tuple(jnp.zeros((L, B_blk), ct) for _ in blocks[i])
                   for i in range(st.m_b)),
-            tuple(jnp.full((L, B_blk), L_ch, f32) for _ in range(n_b)),
+            tuple(jnp.full((L, B_blk), L_ch, ct) for _ in range(n_b)),
             jnp.zeros((1, B_blk), f32),
             jnp.full((1, B_blk), float(max_iter), f32),
             # mismatch blocks: initial estimate is e=0 (L_ch>0) => mis = syn
@@ -238,7 +248,7 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
         _, _, post_blocks, done, it_lat, _ = jax.lax.while_loop(
             cond, body, carry)
 
-        posterior = jnp.concatenate(post_blocks, axis=0)
+        posterior = jnp.concatenate(post_blocks, axis=0).astype(jnp.float32)
         e_ref[...] = (posterior < 0.0).astype(jnp.float32)
         it_ref[...] = it_lat.astype(jnp.int32)
         conv_ref[...] = (done > 0.5).astype(jnp.int32)
@@ -276,10 +286,15 @@ def make_qc_decoder(st: QCStructure, cfg: DecoderConfig,
         raise ValueError("QC kernel supports schedules F and L")
 
     n, m = st.n, st.m
+    import os
+
+    dtype = (jnp.bfloat16 if os.environ.get("QLDPC_QC_DTYPE") == "bf16"
+             else jnp.float32)
     kernel = _make_kernel(st, layer_groups, float(cfg.beta),
                           int(cfg.max_iter), B_blk, kind=kind.upper(),
                           eps=float(cfg.eps),
-                          check_every=getattr(cfg, "qc_check_every", "iter"))
+                          check_every=getattr(cfg, "qc_check_every", "iter"),
+                          dtype=dtype)
 
     @functools.partial(jax.jit, static_argnames=())
     def _run(syn_T, lch):
