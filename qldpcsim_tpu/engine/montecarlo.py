@@ -175,8 +175,9 @@ class ShotPipeline:
         self.dec_x = make_decoder(graph_x, dcfg, layers=layers_x)
         self.dec_z = make_decoder(graph_z, dcfg, layers=layers_z)
         # Channel bit source: TPU hardware PRNG (Pallas) when available —
-        # threefry's per-tile key schedule measured ~38% of the flagship
-        # pipeline (ops/channel_pallas.py). Same per-tile key contract.
+        # replaces threefry's VPU arithmetic + per-tile key schedule, ~10%
+        # of the flagship pipeline (ops/channel_pallas.py). Same per-tile
+        # key contract.
         self._sample = (sample_shot_tiles_hw
                         if hw_sampler_available(dcfg.platform)
                         else sample_shot_tiles)

@@ -1,8 +1,8 @@
 """Pallas TPU kernel: depolarizing-channel sampling via the hardware PRNG.
 
 The XLA channel path (channel/depolarizing.py) draws one threefry u32 per
-qubit per shot; measured ~1/3 of the whole flagship pipeline. Two levers cut
-it down:
+qubit per shot; measured ~10% of the whole flagship pipeline (threefry VPU
+arithmetic + the per-tile key schedule). Two levers cut it down:
 
   * the TPU's native hardware PRNG (`pltpu.prng_seed` /
     `pltpu.prng_random_bits`), seeded per global shot tile from the same
