@@ -32,13 +32,19 @@ from qldpcsim_tpu.decoders.common import DecodeResult
 def default_stages(max_iter: int, batch_hint: int = 4096) -> List[Tuple[int, float]]:
     """Stage plan (iters, capacity fraction of the original batch). Tuned on
     v5e for LP-code MS-layered workloads: a 4-iteration full-batch sweep
-    converges the bulk of shots; shrinking refinement stages soak up the tail
-    (measured 36k shots/s vs 6k un-cascaded on LP118_0 MS-L-50)."""
+    converges the bulk of shots; shrinking refinement stages soak up the
+    tail. Measured convergence CDF on the flagship (LP118_0, p=0.05):
+    7.0% of shots unconverged after 4 iterations (fits the 1/8 stage),
+    1.7% after 10 (fits the 1/32 stage) — stage-2 cap 12 -> 10 measured
+    +2% full-pipeline; deeper caps only move work between stages. The
+    per-stage lax.cond guard re-decodes at full depth whenever a tail
+    overflows its stage, so these numbers only tune throughput, never
+    correctness."""
     if max_iter <= 12:
         return [(max_iter, 1.0)]
     stages = [(4, 1.0)]
     if max_iter > 24:
-        stages.append((12, 1.0 / 8.0))
+        stages.append((10, 1.0 / 8.0))
         stages.append((max_iter, 1.0 / 32.0))
     else:
         stages.append((max_iter, 1.0 / 8.0))
