@@ -12,8 +12,11 @@ design (all documented in DIVERGENCES.md):
     (simulator.py:278-279, landmine L3), and schedules derive from the decode
     matrix by default (landmine L1; `layer_compat=True` reproduces the
     reference's cross-wiring);
-  * OSD runs only on decoder-failed shots, compacted into padded power-of-two
-    buckets to bound recompilation (SURVEY.md §7 "divergent OSD path");
+  * OSD runs only on decoder-failed shots, compacted ON DEVICE to the front
+    of the batch (stable argsort, as in decoders/cascade.py) and processed in
+    fixed-size windows inside a lax.while_loop — the whole OSD path lives in
+    the same fused chunk body as the fast path, so OSD chunks join the
+    multi-chunk lax.scan dispatch groups (SURVEY.md §7 "divergent OSD path");
   * deterministic key hierarchy seed -> p-index -> global chunk (landmine
     L10), making counters bit-exact across sharding layouts.
 """
@@ -193,14 +196,6 @@ class ShotPipeline:
                                   platform=dcfg.platform)
             self.osd_z = make_osd(self.Hx, cfg.osd_order,
                                   platform=dcfg.platform)
-            self._osd_apply_x = jax.jit(self._make_osd_apply(self.osd_x))
-            self._osd_apply_z = jax.jit(self._make_osd_apply(self.osd_z))
-            # Tiered fixed buckets (see _run_osd_side): the small bucket
-            # serves the common few-failures chunk at ~1/4 the padded work;
-            # the large one bounds the pass count when failures spike. Two
-            # shapes total per side — recompilation stays bounded and the
-            # persistent compilation cache makes even that one-time.
-            self._osd_caps = (64, 256)
 
         n_dev = cfg.mesh.devices.size if cfg.mesh is not None else 1
         self.batch = cfg.batch_size or _auto_batch(self.n, cfg.shots, n_dev)
@@ -212,6 +207,18 @@ class ShotPipeline:
         self.tile = _tile_size(self.batch, self.per_dev)
         self.tiles_per_dev = self.per_dev // self.tile
         self.tiles_per_chunk = self.batch // self.tile
+        if self.use_osd:
+            # Per-chunk deferral capacity: decoder-failed shots are NOT
+            # OSD-processed in their own chunk — their records are compacted
+            # into a fixed (F,)-slot buffer per chunk and OSD runs ONCE per
+            # G-chunk dispatch group over the concatenated buffers
+            # (_osd_group_finish). At realistic p the failure rate is <1%,
+            # so group-level batching fills OSD windows ~G times denser than
+            # per-chunk windows (the elimination kernel's cost is per
+            # window, not per failed shot). Chunks whose failures overflow F
+            # (very high p) fall back to in-chunk windowed OSD for the
+            # overflow — correctness never depends on the failure rate.
+            self._defer_cap = min(self.per_dev, 256)
 
         if cfg.mesh is not None:
             from qldpcsim_tpu.parallel.mesh import (shard_chunk_fn,
@@ -225,12 +232,6 @@ class ShotPipeline:
             self._multi_counts = jax.jit(self._multi_chunk_body)
         self.dispatch_chunks = cfg.dispatch_chunks or max(
             1, min(128, 524288 // max(1, self.batch)))
-        # OSD two-stage path: under a mesh the stage functions rely on
-        # sharding propagation — simulate_p device_puts the tile keys with a
-        # ('shots',) sharding and XLA partitions stage1/stage2 (counter sums
-        # become psums); the host-side failed-shot compaction is unchanged.
-        self._stage1 = jax.jit(self._stage1_body)
-        self._stage2 = jax.jit(self._stage2_body)
 
     def device_ctx(self):
         """Context manager pinning execution to this pipeline's device
@@ -241,10 +242,13 @@ class ShotPipeline:
             return contextlib.nullcontext()
         return jax.default_device(self.exec_device)
 
-    # ---------------- fused fast path (no OSD) ----------------
+    # ---------------- fused chunk body (fast path + in-body OSD) ----------------
 
     def _chunk_body(self, tile_keys, p, n_valid):
-        """One per-device chunk: sample + decode + classify -> int32 counters.
+        """One per-device chunk: sample + decode [+ OSD] + classify -> int32
+        counters. Self-contained (OSD failures are fully resolved in-chunk);
+        the engine's dispatch groups use _chunk_body_defer instead, which
+        defers failed shots to one group-level OSD pass.
 
         tile_keys: (tiles_per_dev, 2) uint32, one key per global RNG tile.
         """
@@ -253,21 +257,139 @@ class ShotPipeline:
         prior = p / 3.0  # reference prior (landmine L3, simulator.py:278-279)
         res_x = self.dec_x(sy_z, prior)
         res_z = self.dec_z(sy_x, prior)
-        return self._count(err_x, err_z, res_x.e_hat, res_z.e_hat,
+        ex_hat, ez_hat = res_x.e_hat, res_z.e_hat
+        if self.use_osd:
+            valid = jnp.arange(ex_hat.shape[0]) < n_valid
+            ex_hat = self._apply_osd(self.osd_x, ex_hat, res_x.posterior,
+                                     sy_z, (~res_x.converged) & valid)
+            ez_hat = self._apply_osd(self.osd_z, ez_hat, res_z.posterior,
+                                     sy_x, (~res_z.converged) & valid)
+        return self._count(err_x, err_z, ex_hat, ez_hat,
                            sy_z, sy_x, res_x.n_iter, res_z.n_iter, n_valid)
+
+    def _apply_osd(self, osd, e_hat, post, syn, failed):
+        """Windowed OSD over the `failed` shots of a batch, fully on device.
+
+        The reference reaches OSD only when the iterative decoder exits
+        without converging (decoders.py:179-180); here the failed shots are
+        compacted to the front of the batch by a stable argsort (same trick
+        as the cascade, decoders/cascade.py:88) and OSD runs over fixed-size
+        windows of that prefix inside a lax.while_loop: zero failures costs
+        zero OSD trips, a failure spike just runs more trips of the ONE
+        compiled window shape. No host round trip, no host-side compaction.
+        """
+        B = e_hat.shape[0]
+        cap = math.gcd(B, 256)
+        # stable argsort of (~failed): failed shots first, original order.
+        order = jnp.argsort(~failed, stable=True).astype(jnp.int32)
+        n_failed = jnp.sum(failed)
+
+        def cond(c):
+            lo, _ = c
+            return lo < n_failed
+
+        def body(c):
+            lo, e_cur = c
+            idx = jax.lax.dynamic_slice(order, (lo,), (cap,))
+            win_valid = (lo + jnp.arange(cap)) < n_failed
+            e_new = osd(e_cur[idx], syn[idx], post[idx])
+            e_new = jnp.where(win_valid[:, None], e_new, e_cur[idx])
+            return lo + cap, e_cur.at[idx].set(e_new)
+
+        _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), e_hat))
+        return out
+
+    def _chunk_body_defer(self, tile_keys, p, n_valid):
+        """Chunk body for dispatch groups with OSD: decode, count the shots
+        that need no OSD, and emit the (compacted, fixed-capacity) records
+        of decoder-failed shots for the ONE group-level OSD pass
+        (_osd_group_finish). Failures beyond the deferral capacity — only
+        possible at very high p — are OSD-processed in-chunk, so counters
+        never depend on the failure rate."""
+        err_x, err_z, sy_z, sy_x = self._sample(
+            tile_keys, p, self.n, self.tile, self.Hx_T, self.Hz_T)
+        prior = p / 3.0
+        res_x = self.dec_x(sy_z, prior)
+        res_z = self.dec_z(sy_x, prior)
+        B = err_x.shape[0]
+        valid = jnp.arange(B) < n_valid
+        failed_u = (~(res_x.converged & res_z.converged)) & valid
+        order = jnp.argsort(~failed_u, stable=True).astype(jnp.int32)
+        F = self._defer_cap
+        didx = order[:F]
+        n_defer = jnp.minimum(jnp.sum(failed_u), F)
+        dvalid = jnp.arange(F) < n_defer
+        deferred = jnp.zeros(B, bool).at[didx].set(dvalid)
+
+        ex_hat = self._apply_osd(self.osd_x, res_x.e_hat, res_x.posterior,
+                                 sy_z, (~res_x.converged) & valid & ~deferred)
+        ez_hat = self._apply_osd(self.osd_z, res_z.e_hat, res_z.posterior,
+                                 sy_x, (~res_z.converged) & valid & ~deferred)
+        counts = classify_batch(self.classifier, err_x, err_z, ex_hat, ez_hat,
+                                sy_z, sy_x, valid=valid & ~deferred)
+        # Iteration counters are OSD-independent (reference: OSD never
+        # touches n_iter) — count them here for ALL valid shots.
+        counts["nIterAccX"] = jnp.sum(jnp.where(valid, res_x.n_iter, 0),
+                                      dtype=jnp.int32)
+        counts["nIterAccZ"] = jnp.sum(jnp.where(valid, res_z.n_iter, 0),
+                                      dtype=jnp.int32)
+        i8 = jnp.int8
+        defer = dict(
+            err_x=err_x[didx], err_z=err_z[didx],
+            sy_z=sy_z[didx].astype(i8), sy_x=sy_x[didx].astype(i8),
+            ex=res_x.e_hat[didx], ez=res_z.e_hat[didx],
+            px=res_x.posterior[didx], pz=res_z.posterior[didx],
+            cx=res_x.converged[didx], cz=res_z.converged[didx],
+            dv=dvalid,
+        )
+        return counts, defer
+
+    def _osd_group_finish(self, defer):
+        """One OSD pass over a whole dispatch group's deferred failed shots.
+
+        defer: dict of (G, F, ...) record arrays stacked by the chunk scan.
+        Flattening G x F and compacting fills the fixed OSD windows ~G times
+        denser than per-chunk processing — the window count (and with it the
+        elimination-kernel cost, which is per window) drops by the same
+        factor. Returns the event counters of the deferred shots."""
+        flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in defer.items()}
+        dv = flat["dv"]
+        sy_z = flat["sy_z"].astype(jnp.float32)
+        sy_x = flat["sy_x"].astype(jnp.float32)
+        ex = self._apply_osd(self.osd_x, flat["ex"], flat["px"], sy_z,
+                             (~flat["cx"]) & dv)
+        ez = self._apply_osd(self.osd_z, flat["ez"], flat["pz"], sy_x,
+                             (~flat["cz"]) & dv)
+        counts = classify_batch(self.classifier, flat["err_x"],
+                                flat["err_z"], ex, ez, sy_z, sy_x, valid=dv)
+        counts["nIterAccX"] = jnp.int32(0)  # already counted in-chunk
+        counts["nIterAccZ"] = jnp.int32(0)
+        return counts
 
     def _multi_chunk_body(self, keys, p, n_valids):
         """G fused chunks in one dispatch: lax.scan over per-chunk tile keys,
         counters summed on device. keys: (G, tiles, 2); n_valids: (G,).
         Padding chunks carry n_valid=0 and contribute nothing (every counter
-        is masked by the valid lane mask in _count)."""
+        is masked by the valid lane mask in _count). With OSD enabled, the
+        scan defers failed shots and ONE group-level OSD pass finishes them
+        (still inside this jit — one dispatch per group either way)."""
+
+        if not self.use_osd:
+            def step(_, xs):
+                k, nv = xs
+                return None, self._chunk_body(k, p, nv)
+
+            _, per_chunk = jax.lax.scan(step, None, (keys, n_valids))
+            return {k: jnp.sum(v, axis=0) for k, v in per_chunk.items()}
 
         def step(_, xs):
             k, nv = xs
-            return None, self._chunk_body(k, p, nv)
+            return None, self._chunk_body_defer(k, p, nv)
 
-        _, per_chunk = jax.lax.scan(step, None, (keys, n_valids))
-        return {k: jnp.sum(v, axis=0) for k, v in per_chunk.items()}
+        _, (per_chunk, defer) = jax.lax.scan(step, None, (keys, n_valids))
+        counts = {k: jnp.sum(v, axis=0) for k, v in per_chunk.items()}
+        extra = self._osd_group_finish(defer)
+        return {k: counts[k] + extra[k] for k in counts}
 
     def _count(self, err_x, err_z, ex_hat, ez_hat, sy_z, sy_x,
                it_x, it_z, n_valid):
@@ -278,65 +400,6 @@ class ShotPipeline:
         counts["nIterAccX"] = jnp.sum(jnp.where(valid, it_x, 0), dtype=jnp.int32)
         counts["nIterAccZ"] = jnp.sum(jnp.where(valid, it_z, 0), dtype=jnp.int32)
         return counts
-
-    # ---------------- two-stage path (OSD) ----------------
-
-    def _stage1_body(self, tile_keys, p):
-        err_x, err_z, sy_z, sy_x = self._sample(
-            tile_keys, p, self.n, self.tile, self.Hx_T, self.Hz_T)
-        prior = p / 3.0
-        res_x = self.dec_x(sy_z, prior)
-        res_z = self.dec_z(sy_x, prior)
-        return dict(
-            err_x=err_x, err_z=err_z, sy_z=sy_z, sy_x=sy_x,
-            ex_hat=res_x.e_hat, ez_hat=res_z.e_hat,
-            conv_x=res_x.converged, conv_z=res_z.converged,
-            post_x=res_x.posterior, post_z=res_z.posterior,
-            it_x=res_x.n_iter, it_z=res_z.n_iter,
-        )
-
-    @staticmethod
-    def _make_osd_apply(osd):
-        def apply(e_hat, syn, post, idx, valid):
-            e_sel = osd(e_hat[idx], syn[idx], post[idx])
-            e_sel = jnp.where(valid[:, None], e_sel, e_hat[idx])
-            return e_hat.at[idx].set(e_sel)
-        return apply
-
-    def _stage2_body(self, s, n_valid):
-        return self._count(s["err_x"], s["err_z"], s["ex_hat"], s["ez_hat"],
-                           s["sy_z"], s["sy_x"], s["it_x"], s["it_z"], n_valid)
-
-    def _run_osd_side(self, s, side: str):
-        conv = np.asarray(s[f"conv_{side}"])
-        failed = np.nonzero(~conv)[0]
-        if failed.size == 0:
-            return
-        # FIXED bucket sizes only: variable bucket sizes would recompile the
-        # OSD jit per new size (minutes each on the remote TPU compiler);
-        # overflow just runs additional same-shape passes. The smallest
-        # bucket that fits the whole failed set is chosen; oversized sets
-        # loop the largest bucket.
-        cap = next((c for c in self._osd_caps if failed.size <= c),
-                   self._osd_caps[-1])
-        apply = self._osd_apply_x if side == "x" else self._osd_apply_z
-        ehk = "ex_hat" if side == "x" else "ez_hat"
-        syk = "sy_z" if side == "x" else "sy_x"
-        for lo in range(0, failed.size, cap):
-            part = failed[lo: lo + cap]
-            idx = np.zeros(cap, np.int32)
-            idx[: part.size] = part
-            valid = np.zeros(cap, bool)
-            valid[: part.size] = True
-            s[ehk] = apply(s[ehk], s[syk], s[f"post_{side}"],
-                           jnp.asarray(idx), jnp.asarray(valid))
-
-    def run_chunk_with_osd(self, key, p, n_valid):
-        s = self._stage1(key, p)
-        self._run_osd_side(s, "x")
-        self._run_osd_side(s, "z")
-        return self._stage2(s, n_valid)
-
 
 def simulate_p(Hx: np.ndarray, Hz: np.ndarray, p: float,
                cfg: Optional[SimConfig] = None,
@@ -371,40 +434,32 @@ def simulate_p(Hx: np.ndarray, Hz: np.ndarray, p: float,
     warm_shots = 0
     from qldpcsim_tpu.parallel.mesh import chunk_keys
 
-    # OSD needs host-side failed-shot compaction per chunk, so it keeps the
-    # one-dispatch-per-chunk loop; the fused path scans G chunks per dispatch
-    # (counters summed on device — one host round trip per G chunks).
-    G = 1 if pipe.use_osd else min(pipe.dispatch_chunks,
-                                   n_chunks - start_chunk)
-    G = max(G, 1)
+    # The fused chunk body (decode + in-body OSD when enabled) scans G chunks
+    # per dispatch, counters summed on device — one host round trip per G
+    # chunks. The FINAL group shrinks to the remaining chunk count (at most
+    # one extra compiled shape) instead of padding to G with dead compute.
+    G = max(1, min(pipe.dispatch_chunks, n_chunks - start_chunk))
     tpc = pipe.tiles_per_chunk
-    for c in range(start_chunk, n_chunks, G):
-        group_valid = min(G * batch, shots - c * batch)
+    c = start_chunk
+    while c < n_chunks:
+        g = min(G, n_chunks - c)
+        group_valid = min(g * batch, shots - c * batch)
         with pipe.device_ctx():
             # Global tile stream: chunk c owns tiles [c * tpc, (c+1) * tpc).
-            keys = chunk_keys(key, c * tpc, G * tpc)
-            if pipe.use_osd:
-                n_valid = min(batch, shots - c * batch)
-                if cfg.mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
-
-                    keys = jax.device_put(
-                        keys, NamedSharding(cfg.mesh, P("shots")))
-                counts = pipe.run_chunk_with_osd(keys, jnp.float32(p),
-                                                 jnp.int32(n_valid))
-            elif cfg.mesh is not None:
+            keys = chunk_keys(key, c * tpc, g * tpc)
+            if cfg.mesh is not None:
                 ndev, per_dev = pipe.n_dev, pipe.per_dev
                 # keys[d, i] = tiles of chunk c+i owned by device d
-                keys = keys.reshape(G, ndev, pipe.tiles_per_dev, -1)
+                keys = keys.reshape(g, ndev, pipe.tiles_per_dev, -1)
                 keys = jnp.swapaxes(keys, 0, 1)
-                base = (c + np.arange(G)[None, :]) * batch  # (1, G)
+                base = (c + np.arange(g)[None, :]) * batch  # (1, g)
                 nv = np.clip(shots - base - np.arange(ndev)[:, None] * per_dev,
                              0, per_dev)
                 counts = pipe._multi_counts(keys, jnp.float32(p),
                                             jnp.asarray(nv, jnp.int32))
             else:
-                keys = keys.reshape(G, tpc, -1)
-                nv = np.clip(shots - (c + np.arange(G)) * batch, 0, batch)
+                keys = keys.reshape(g, tpc, -1)
+                nv = np.clip(shots - (c + np.arange(g)) * batch, 0, batch)
                 counts = pipe._multi_counts(keys, jnp.float32(p),
                                             jnp.asarray(nv, jnp.int32))
         counts = jax.device_get(counts)
@@ -414,10 +469,11 @@ def simulate_p(Hx: np.ndarray, Hz: np.ndarray, p: float,
             warm_shots += group_valid
         for k in _COUNTER_KEYS:
             totals[k] += int(counts[k])
+        c += g
         if store is not None:
-            store.save(ckpt_id, totals, min(c + G, n_chunks))
+            store.save(ckpt_id, totals, c)
         if cfg.progress:
-            done_shots = min((c + G) * batch, shots)
+            done_shots = min(c * batch, shots)
             print(f"\r(p={p:5.2e}) decoded {done_shots}/{shots} shots",
                   end="", flush=True)
     t_end = time.perf_counter()

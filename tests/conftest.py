@@ -14,7 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# Escape hatch: QLDPC_TEST_TPU=1 keeps the session's real TPU backend so the
+# TPU-only tests (hw-PRNG sampler, Pallas kernels) actually execute; default
+# is the virtual 8-device CPU mesh.
+if os.environ.get("QLDPC_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

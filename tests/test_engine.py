@@ -114,6 +114,60 @@ def test_osd_path_runs_and_helps():
     assert r_osd.counters["DecFailures_X"] == 0  # OSD always matches syndrome
 
 
+def test_osd_fused_matches_host_compaction():
+    """The fused in-body OSD path (on-device argsort compaction + windowed
+    while_loop) produces counters bit-exact with an independent host-side
+    application of the same OSD function to exactly the decoder-failed valid
+    shots (the semantics of the reference's failure-gated OSD,
+    decoders.py:179-180)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qldpcsim_tpu.parallel.mesh import chunk_keys
+
+    code = get_code("lp04_0")
+    shots, batch, p, seed = 320, 128, 0.06, 13
+    cfg = SimConfig(shots=shots, dec_type="MS", dec_iterations=6,
+                    dec_schedule="F", osd_order=1, rng_seed=seed,
+                    batch_size=batch)
+    r = simulate_p(code.Hx, code.Hz, p, cfg)
+
+    pipe = ShotPipeline(code.Hx, code.Hz, cfg)
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), 0)
+    tpc = pipe.tiles_per_chunk
+    n_chunks = -(-shots // batch)
+    totals = None
+    p32 = jnp.float32(p)
+    for c in range(n_chunks):
+        keys = chunk_keys(key, c * tpc, tpc)
+        err_x, err_z, sy_z, sy_x = pipe._sample(
+            keys, p32, pipe.n, pipe.tile, pipe.Hx_T, pipe.Hz_T)
+        res_x = pipe.dec_x(sy_z, p32 / 3.0)
+        res_z = pipe.dec_z(sy_x, p32 / 3.0)
+        n_valid = min(batch, shots - c * batch)
+        lane_valid = np.arange(batch) < n_valid
+        e_hats = []
+        for res, syn, osd in ((res_x, sy_z, pipe.osd_x),
+                              (res_z, sy_x, pipe.osd_z)):
+            e = np.asarray(res.e_hat).copy()
+            failed = np.nonzero(~np.asarray(res.converged) & lane_valid)[0]
+            if failed.size:
+                e_new = osd(res.e_hat[failed], syn[failed],
+                            res.posterior[failed])
+                e[failed] = np.asarray(e_new)
+            e_hats.append(jnp.asarray(e))
+        counts = jax.device_get(pipe._count(
+            err_x, err_z, e_hats[0], e_hats[1], sy_z, sy_x,
+            res_x.n_iter, res_z.n_iter, jnp.int32(n_valid)))
+        counts = {k: int(v) for k, v in counts.items()}
+        totals = counts if totals is None else {
+            k: totals[k] + counts[k] for k in counts}
+
+    for k, v in r.counters.items():
+        assert totals[k] == v, (k, totals[k], v)
+    assert totals["nIterAccX"] == round(r.avg_iterations_x * shots)
+
+
 def test_bp_and_bf_and_ng_paths():
     code = get_code("steane")
     for dec in ("BP", "BF", "NG"):
