@@ -49,16 +49,39 @@ def cpu_fallback_device():
         return None
 
 
-def multihost_init():
+def multihost_init(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> bool:
     """Initialize jax.distributed when running under a multi-host launcher.
 
-    No-op on a single host (the reference has no distributed path at all)."""
-    try:
-        if jax.process_count() > 1:
-            return
-        jax.distributed.initialize()
-    except Exception:
-        pass  # single-host / already initialized
+    MUST run before any backend query: jax.devices()/jax.process_count()
+    initialize the local backend, after which jax.distributed.initialize()
+    raises. Launch context comes from the explicit arguments or, when absent,
+    the standard env vars JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID (a cloud-TPU pod slice also auto-detects once a
+    coordinator address is known). With no context at all this is a no-op —
+    plain single-host runs never touch the distributed service. Returns
+    True iff the distributed runtime is initialized on exit.
+
+    The reference has no distributed path at all (simulator.py is a single
+    process); tested with two real processes in tests/test_multihost.py.
+    """
+    import os
+
+    if jax.distributed.is_initialized():
+        return True
+    coordinator_address = (coordinator_address
+                          or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and process_id is None:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
 
 
 def make_mesh(devices=None, axis: str = "shots") -> Mesh:
