@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="Shard shots over all visible devices.")
     tpu.add_argument("--layerCompat", action="store_true",
                      help="Reproduce the reference's cross-wired layer derivation.")
+    tpu.add_argument("--bfResidual", choices=("mod2", "bool"), default="mod2",
+                     help="BF residual semantics: mod2 (parity, default) or "
+                          "bool (reference's any-overlap residual — see "
+                          "DIVERGENCES.md).")
     tpu.add_argument("--checkpointDir", default=None,
                      help="Directory for resumable per-p-point counter checkpoints.")
     tpu.add_argument("--out", default=None, help="Write results as JSON lines.")
@@ -107,6 +111,7 @@ def main(argv: Optional[list] = None) -> int:
         shots=args.shots, dec_type=args.decType, dec_iterations=args.decIterations,
         dec_schedule=args.decSchedule, osd_order=args.OSDorder,
         rng_seed=args.rngSeed, batch_size=args.batch, layer_compat=args.layerCompat,
+        bf_residual=args.bfResidual,
         mesh=mesh, checkpoint_dir=args.checkpointDir, progress=not args.quiet,
     )
     from qldpcsim_tpu.utils.profiling import trace_context

@@ -191,6 +191,15 @@ class DecoderConfig:
     eps: float = 1e-6             # BP tanh clamp; f32-suitable (ref uses 1e-9
                                   # in float64, decoders.py:195 — see DIVERGENCES.md)
     bf_max_iter: int = 50         # BF default (decoders.py:74)
+    bf_residual: str = "mod2"     # BF residual semantics: "mod2" (parity —
+                                  # the mathematically standard bit-flipping
+                                  # residual) | "bool" (reference compat:
+                                  # decoders.py:93-95 computes
+                                  # bool(H @ e_hat) ^ syndrome, i.e. ANY
+                                  # overlap, not overlap parity — a
+                                  # genuinely different decoder on rows with
+                                  # >= 2 flipped variables; see
+                                  # DIVERGENCES.md "BF residual")
     layer_compat: bool = False    # True => reproduce cross-wired layers (L1)
     dtype: str = "float32"        # message dtype
     round1_iters: int = 0         # two-round straggler compaction: first-round

@@ -78,6 +78,8 @@ class SimConfig:
     rng_seed: Optional[int] = None
     batch_size: int = 0           # 0 = auto
     layer_compat: bool = False    # reproduce reference cross-wired layers (L1)
+    bf_residual: str = "mod2"     # BF residual: "mod2" | "bool" (reference
+                                  # compat — see DIVERGENCES.md "BF residual")
     mesh: object = None           # jax.sharding.Mesh over a 'shots' axis
     checkpoint_dir: Optional[str] = None
     progress: bool = False
@@ -100,6 +102,7 @@ class SimConfig:
             schedule=self.dec_schedule,
             osd_order=self.osd_order,
             layer_compat=self.layer_compat,
+            bf_residual=self.bf_residual,
             impl=self.impl,
         )
 

@@ -91,8 +91,13 @@ def bp_decode(H, syndrome, p, max_iter, layers, eps=1e-6):
     return e, max_iter, post, False
 
 
-def bf_decode(H, syndrome, max_iter=50):
-    """Bit-flipping, reference semantics (decoders.py:74-102)."""
+def bf_decode(H, syndrome, max_iter=50, residual="mod2"):
+    """Bit-flipping, reference semantics (decoders.py:74-102).
+
+    residual="bool" reproduces the reference's residual EXACTLY
+    (decoders.py:93-95: r = bool(H @ e_hat) ^ syndrome — any-overlap, not
+    parity); "mod2" is the standard parity residual the framework defaults
+    to (DIVERGENCES.md "BF residual")."""
     H = np.asarray(H).astype(np.int64)
     n = H.shape[1]
     deg = H.sum(axis=0)
@@ -102,7 +107,10 @@ def bf_decode(H, syndrome, max_iter=50):
     for it in range(max_iter):
         nuc = r @ H
         e = e ^ (nuc > deg / 2.0)
-        r = ((H @ e) % 2) ^ syndrome
+        if residual == "bool":
+            r = (H @ e > 0).astype(np.int64) ^ syndrome
+        else:
+            r = ((H @ e) % 2) ^ syndrome
         if r.sum() == 0:
             return e.astype(np.int8), it + 1, True
     return e.astype(np.int8), max_iter, False

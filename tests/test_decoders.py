@@ -102,6 +102,63 @@ def test_bf_matches_oracle(rng, codename):
 
 
 @pytest.mark.parametrize("codename", ["steane", "bicycle"])
+def test_bf_bool_residual_matches_oracle(rng, codename):
+    """bf_residual='bool' reproduces the reference's any-overlap residual
+    (decoders.py:93-95) shot-for-shot, iteration-for-iteration."""
+    code = get_code(codename)
+    H = np.asarray(code.Hz)
+    graph = TannerGraph.build(H)
+    decode = make_bf_decoder(graph, DecoderConfig(dec_type="BF",
+                                                  bf_residual="bool"))
+    errs, syn = _sample_shots(rng, H, 64)
+    res = decode(syn)
+    e_hat = np.asarray(res.e_hat)
+    n_iter = np.asarray(res.n_iter)
+    for s in range(syn.shape[0]):
+        e_ref, it_ref, _c = oracle.bf_decode(H, syn[s], residual="bool")
+        assert (e_hat[s] == e_ref).all(), f"shot {s}"
+        assert n_iter[s] == it_ref, f"shot {s}"
+
+
+def test_bf_residual_semantics_diverge():
+    """Pin the case where the two BF residuals genuinely differ: a row with
+    overlap 2 is satisfied under the parity residual (2 mod 2 == 0) but
+    "unsatisfied" under the reference's any-overlap residual when its
+    syndrome bit is 0 (DIVERGENCES.md "BF residual").
+
+    H = [[1,1,0],[0,1,1]], syndrome (1,1): step 1 flips the degree-2
+    variable v1 (nuc = (1,2,1), half-deg (0.5,1,0.5) -> flips v0,v1,v2...
+    use a syndrome where the trajectories split instead."""
+    H = np.array([[1, 1, 0],
+                  [0, 1, 1]], dtype=np.int8)
+    # syndrome (1, 0): nuc = (1,1,0), half-deg (.5,1,.5) -> flip v0 only.
+    # e = (1,0,0): overlaps = (1,0) -> BOTH residuals converge here. Use
+    # syndrome (1, 1): nuc = (1,2,1) -> flip all three; e = (1,1,1):
+    # overlaps = (2,2): parity residual = (0,0)^ (1,1) -> (1,1) unsat;
+    # bool residual = (1,1)^(1,1) = (0,0) -> CONVERGED with a wrong-parity
+    # answer. The decoders must disagree on convergence at iteration 1.
+    syn = np.array([[1, 1]], dtype=np.int8)
+    graph = TannerGraph.build(H)
+    r_mod2 = make_bf_decoder(graph, DecoderConfig(dec_type="BF"))(syn)
+    r_bool = make_bf_decoder(
+        graph, DecoderConfig(dec_type="BF", bf_residual="bool"))(syn)
+    assert bool(np.asarray(r_bool.converged)[0]) is True
+    assert int(np.asarray(r_bool.n_iter)[0]) == 1
+    assert (np.asarray(r_bool.e_hat)[0] == [1, 1, 1]).all()
+    # the bool fixed point violates the actual parity-check equation:
+    assert ((H @ np.asarray(r_bool.e_hat)[0]) % 2 != syn[0]).any()
+    # mod2 keeps iterating (and its result, if converged, satisfies parity)
+    conv2 = bool(np.asarray(r_mod2.converged)[0])
+    if conv2:
+        assert ((H @ np.asarray(r_mod2.e_hat)[0]) % 2 == syn[0]).all()
+    assert int(np.asarray(r_mod2.n_iter)[0]) != 1 or not conv2
+
+    # oracle agrees with both
+    e_b, it_b, c_b = oracle.bf_decode(H, syn[0], residual="bool")
+    assert c_b and it_b == 1 and (e_b == [1, 1, 1]).all()
+
+
+@pytest.mark.parametrize("codename", ["steane", "bicycle"])
 def test_ng_matches_oracle(rng, codename):
     code = get_code(codename)
     H = np.asarray(code.Hz)
