@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="Shots per compiled chunk (0 = auto).")
     tpu.add_argument("--mesh", action="store_true",
                      help="Shard shots over all visible devices.")
+    tpu.add_argument("--mesh-p", type=int, default=0, metavar="N",
+                     help="Shard the p-sweep over a ('p','shots') 2-D mesh "
+                          "with N p-rows: one dispatch decodes N p-values "
+                          "(per-p counters bit-exact vs the serial sweep).")
     tpu.add_argument("--layerCompat", action="store_true",
                      help="Reproduce the reference's cross-wired layer derivation.")
     tpu.add_argument("--bfResidual", choices=("mod2", "bool"), default="mod2",
@@ -101,25 +105,32 @@ def main(argv: Optional[list] = None) -> int:
     from qldpcsim_tpu.engine.results import format_results_table
 
     mesh = None
-    if args.mesh:
+    if args.mesh or args.mesh_p:
         from qldpcsim_tpu.parallel import make_mesh, multihost_init
 
         multihost_init()
-        mesh = make_mesh()
+        if not args.mesh_p:
+            mesh = make_mesh()
 
     cfg = SimConfig(
         shots=args.shots, dec_type=args.decType, dec_iterations=args.decIterations,
         dec_schedule=args.decSchedule, osd_order=args.OSDorder,
         rng_seed=args.rngSeed, batch_size=args.batch, layer_compat=args.layerCompat,
         bf_residual=args.bfResidual,
-        mesh=mesh, checkpoint_dir=args.checkpointDir, progress=not args.quiet,
+        mesh=mesh, mesh_p=args.mesh_p,
+        checkpoint_dir=args.checkpointDir, progress=not args.quiet,
     )
     from qldpcsim_tpu.utils.profiling import trace_context
 
-    pipe = ShotPipeline(Hx, Hz, cfg)
     with trace_context("p_sweep", args.profile):
-        results = [simulate_p(Hx, Hz, pT, cfg, pipeline=pipe, p_index=i)
-                   for i, pT in enumerate(p)]
+        if cfg.mesh_p:
+            from qldpcsim_tpu.engine.montecarlo import simulate_sweep
+
+            results = simulate_sweep(Hx, Hz, p, cfg)
+        else:
+            pipe = ShotPipeline(Hx, Hz, cfg)
+            results = [simulate_p(Hx, Hz, pT, cfg, pipeline=pipe, p_index=i)
+                       for i, pT in enumerate(p)]
 
     print(format_results_table(results))
     if args.out:

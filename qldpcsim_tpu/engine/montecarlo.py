@@ -81,6 +81,15 @@ class SimConfig:
     bf_residual: str = "mod2"     # BF residual: "mod2" | "bool" (reference
                                   # compat — see DIVERGENCES.md "BF residual")
     mesh: object = None           # jax.sharding.Mesh over a 'shots' axis
+    mesh_p: int = 0               # >0: p-points become a SECOND mesh axis —
+                                  # simulate_sweep shards a ('p','shots')
+                                  # 2-D mesh over all devices (mesh_p rows)
+                                  # and ONE dispatch decodes mesh_p p-values
+                                  # with per-p counter rows (the reference
+                                  # p-loop, simulator.py:335-339, as a
+                                  # parallel axis). Counters are bit-exact
+                                  # vs the serial p-loop (same per-p key
+                                  # hierarchy and tile stream).
     checkpoint_dir: Optional[str] = None
     progress: bool = False
     device: str = "auto"          # "auto" | "default" | "cpu": "auto" routes
@@ -498,6 +507,109 @@ def simulate_p(Hx: np.ndarray, Hz: np.ndarray, p: float,
     )
 
 
+def simulate_sweep(Hx: np.ndarray, Hz: np.ndarray, ps: Sequence[float],
+                   cfg: SimConfig) -> List[PPointResult]:
+    """p-sweep with p-points as a mesh axis (cfg.mesh_p rows).
+
+    The reference's outer p-loop (simulator.py:335-339) is the second
+    shardable axis (SURVEY.md §2): a ('p','shots') 2-D mesh over all
+    devices decodes cfg.mesh_p p-values per dispatch, each p-row sharding
+    its shot chunks over the devices of that row, with per-p counter rows
+    psum-reduced over the 'shots' axis only. The per-p RNG key hierarchy
+    (seed -> p-index -> global tile) and per-row chunk layout are identical
+    to the serial p-loop, so per-p counters are BIT-EXACT vs simulate_p
+    (tested in tests/test_psweep.py). Checkpointing is per-sweep-block
+    granularity here, so cfg.checkpoint_dir is ignored.
+    """
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from qldpcsim_tpu.parallel.mesh import chunk_keys
+
+    n_p = int(cfg.mesh_p)
+    assert n_p >= 1
+    devices = (np.asarray(cfg.mesh.devices).reshape(-1) if cfg.mesh is not None
+               else np.asarray(jax.devices()))
+    if devices.size % n_p:
+        raise ValueError(f"mesh_p={n_p} must divide device count {devices.size}")
+    ndev_s = devices.size // n_p
+    grid = devices.reshape(n_p, ndev_s)
+    mesh2 = Mesh(grid, ("p", "shots"))
+    # Pipeline sized for ONE p-row's shots submesh (its shard wrappers are
+    # built but unused — simulate_sweep shard_maps the chunk body itself).
+    row_mesh = Mesh(grid[0], ("shots",))
+    pipe = ShotPipeline(Hx, Hz, dataclasses.replace(cfg, mesh=row_mesh,
+                                                    mesh_p=0))
+    shots, batch = cfg.shots, pipe.batch
+    n_chunks = -(-shots // batch)
+    G = max(1, min(pipe.dispatch_chunks, n_chunks))
+    tpc, tpd = pipe.tiles_per_chunk, pipe.tiles_per_dev
+    per_dev = pipe.per_dev
+    seed = cfg.rng_seed if cfg.rng_seed is not None else 0
+    base_key = jax.random.PRNGKey(seed)
+
+    def per_device(p_blk, keys_blk, nv_blk):
+        counts = pipe._multi_chunk_body(keys_blk[0, 0], p_blk[0], nv_blk[0, 0])
+        counts = {k: jax.lax.psum(v, "shots") for k, v in counts.items()}
+        return {k: v[None] for k, v in counts.items()}
+
+    step = jax.jit(jax.shard_map(
+        per_device, mesh=mesh2,
+        in_specs=(P("p"), P("p", "shots"), P("p", "shots")),
+        out_specs=P("p"), check_vma=False))
+
+    ps = np.asarray(ps, dtype=np.float64)
+    results: List[PPointResult] = []
+    for blk0 in range(0, ps.size, n_p):
+        blk = ps[blk0: blk0 + n_p]
+        pad = n_p - blk.size
+        p_vec = jnp.asarray(np.concatenate([blk, np.repeat(blk[-1:], pad)]),
+                            jnp.float32)
+        keys_p = [jax.random.fold_in(base_key, blk0 + i)
+                  for i in range(blk.size)]
+        keys_p += [keys_p[-1]] * pad  # dummy rows (nv=0 -> no contribution)
+        totals = {k: np.zeros(n_p, np.int64) for k in _COUNTER_KEYS}
+        t0 = time.perf_counter()
+        c = 0
+        while c < n_chunks:
+            g = min(G, n_chunks - c)
+            # per-p keys, laid out exactly like the 1-D mesh path:
+            # keys[ip, d, i] = tiles of chunk c+i owned by device d of row ip
+            keys = jnp.stack([
+                jnp.swapaxes(chunk_keys(kp, c * tpc, g * tpc)
+                             .reshape(g, ndev_s, tpd, -1), 0, 1)
+                for kp in keys_p])                      # (n_p, ndev_s, g, tpd, 2)
+            base = (c + np.arange(g)[None, :]) * batch  # (1, g)
+            nv = np.clip(shots - base - np.arange(ndev_s)[:, None] * per_dev,
+                         0, per_dev)                    # (ndev_s, g)
+            nv = np.broadcast_to(nv, (n_p, ndev_s, g)).copy()
+            if pad:
+                nv[blk.size:] = 0
+            counts = jax.device_get(step(p_vec, keys,
+                                         jnp.asarray(nv, jnp.int32)))
+            for k in _COUNTER_KEYS:
+                totals[k] += np.asarray(counts[k], np.int64)
+            c += g
+            if cfg.progress:
+                print(f"\r(p-block {blk0 // n_p}) decoded "
+                      f"{min(c * batch, shots)}/{shots} shots x {blk.size} p",
+                      end="", flush=True)
+        elapsed = time.perf_counter() - t0
+        if cfg.progress:
+            print()
+        for i, pT in enumerate(blk):
+            results.append(PPointResult(
+                p=float(pT), shots=shots,
+                counters={k: int(totals[k][i]) for k in _COUNTER_KEYS
+                          if not k.startswith("nIter")},
+                avg_iterations_x=int(totals["nIterAccX"][i]) / float(shots),
+                avg_iterations_z=int(totals["nIterAccZ"][i]) / float(shots),
+                wall_time_s=elapsed,
+                warm_time_s=float("nan"),
+                warm_shots=0,
+            ))
+    return results
+
+
 def simulate(HxFile: str, HzFile: str, p: Sequence[float],
              shots: int = 1000, decType: str = "MS", decIterations: int = 99,
              decSchedule: str = "F", OSDorder: int = -1,
@@ -514,8 +626,11 @@ def simulate(HxFile: str, HzFile: str, p: Sequence[float],
     cfg = SimConfig(shots=shots, dec_type=decType, dec_iterations=decIterations,
                     dec_schedule=decSchedule, osd_order=OSDorder,
                     rng_seed=rngSeed, **kwargs)
-    pipe = ShotPipeline(Hx, Hz, cfg)
-    results = [simulate_p(Hx, Hz, pT, cfg, pipeline=pipe, p_index=i)
-               for i, pT in enumerate(p)]
+    if cfg.mesh_p:
+        results = simulate_sweep(Hx, Hz, p, cfg)
+    else:
+        pipe = ShotPipeline(Hx, Hz, cfg)
+        results = [simulate_p(Hx, Hz, pT, cfg, pipeline=pipe, p_index=i)
+                   for i, pT in enumerate(p)]
     print(format_results_table(results))
     return results

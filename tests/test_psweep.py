@@ -1,0 +1,64 @@
+"""p-point parallelism tests: the ('p','shots') 2-D mesh sweep
+(engine/montecarlo.simulate_sweep) must reproduce the serial p-loop
+bit-exactly — same per-p key hierarchy (seed -> p-index -> global tile) and
+per-row chunk layout (SURVEY.md §2: the reference p-loop simulator.py:335-339
+as a parallel axis)."""
+
+import jax
+import numpy as np
+import pytest
+
+from qldpcsim_tpu.codes import get_code
+from qldpcsim_tpu.engine.montecarlo import (SimConfig, simulate_p,
+                                            simulate_sweep)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _serial(code, ps, cfg):
+    return [simulate_p(code.Hx, code.Hz, pT,
+                       SimConfig(**{**cfg.__dict__, "mesh_p": 0}), p_index=i)
+            for i, pT in enumerate(ps)]
+
+
+@pytest.mark.parametrize("dec,osd", [("MS", -1), ("BP", 1)])
+def test_psweep_bit_exact_vs_serial(dec, osd):
+    code = get_code("lp04_0")
+    ps = [0.02, 0.04, 0.06]  # 3 p-points over 2 p-rows: exercises padding
+    cfg = SimConfig(shots=1280, dec_type=dec, dec_iterations=8, rng_seed=7,
+                    osd_order=osd, batch_size=512, mesh_p=2)
+    swept = simulate_sweep(code.Hx, code.Hz, ps, cfg)
+    serial = _serial(code, ps, cfg)
+    assert len(swept) == len(serial) == 3
+    for rs, rr in zip(swept, serial):
+        assert rs.p == rr.p
+        assert rs.counters == rr.counters, rs.p
+        assert rs.avg_iterations_x == rr.avg_iterations_x
+        assert rs.avg_iterations_z == rr.avg_iterations_z
+
+
+def test_psweep_cli(tmp_path, capsys):
+    """--mesh-p end-to-end through the CLI (the production surface)."""
+    import json
+
+    from qldpcsim_tpu.cli import main
+
+    code = get_code("steane")
+    hx, hz = tmp_path / "hx.npy", tmp_path / "hz.npy"
+    np.save(hx, np.asarray(code.Hx))
+    np.save(hz, np.asarray(code.Hz))
+    out = tmp_path / "res.jsonl"
+    rc = main(["--Hx", str(hx), "--Hz", str(hz), "--p", "0.01", "0.03",
+               "--shots", "512", "--decType", "MS", "--decIterations", "10",
+               "--rngSeed", "5", "--batch", "512", "--mesh-p", "2",
+               "--quiet", "--out", str(out)])
+    assert rc == 0
+    rows = [json.loads(l) for l in out.read_text().splitlines()]
+    assert [r["p"] for r in rows] == [0.01, 0.03]
+    ref = _serial(code, [0.01, 0.03],
+                  SimConfig(shots=512, dec_iterations=10, rng_seed=5,
+                            batch_size=512))
+    for row, rr in zip(rows, ref):
+        for k, v in rr.counters.items():
+            assert row[k] == v, (row["p"], k)
