@@ -2,16 +2,25 @@
 
 The accuracy bar (BASELINE.md) is "qBLER curves match the reference within
 Monte-Carlo confidence bounds". The reference itself is not runnable here (no
-stim), so the comparison target is the per-shot NumPy oracle
-(tests/oracle.py), which implements the reference's exact decoder semantics
-(decoders.py:110-290) with an independently sampled channel at the reference's
-marginals (DEPOLARIZE1(p): X/Y/Z each w.p. p/3 => errX marginal 2p/3,
-errX&errZ jointly p/3; simulator.py:99-118) and the reference's event
-classification (simulator.py:291-303).
+stim), so the comparison target is an independent reference-semantics oracle:
+
+  * MS rows:      the native batched C++ decoder (csrc/gf2core.cpp
+                  ms_decode_cpu, exact decoders.py:110-182 semantics);
+  * BP rows:      the native STRICT-reference-numerics C++ decoder
+                  (bp_decode_cpu: float64, eps=1e-9, clamp-by-subtraction —
+                  decoders.py:235,256-258), with OSD post-decoding of failed
+                  shots by the native C++ OSD (osd_decode_cpu);
+  * BF/NG rows:   the per-shot NumPy oracle (tests/oracle.py).
+
+Channel: independently sampled at the reference's marginals (DEPOLARIZE1(p):
+X/Y/Z each w.p. p/3 => errX marginal 2p/3, errX&errZ jointly p/3;
+simulator.py:99-118). Classification: the reference's event tests
+(simulator.py:291-303), vectorized.
 
 For each config both sides estimate qBLER = 1 - (exact + degen)/shots; the
 test is a two-proportion z-test: |q_new - q_ref| <= Z * sqrt(pv*(1/N + 1/M)),
-pv = pooled variance, Z = 4 (false-alarm ~6e-5 per config).
+pv = pooled variance, Z = 4 (false-alarm ~6e-5 per config). Shot counts are
+sized so every bound is <= 0.02 (oracle side >= 10^4 per config).
 
 Usage: python benchmarks/parity.py [--scale S] [--out FILE]
 Emits one JSON line per config with both estimates and PASS/FAIL.
@@ -33,29 +42,85 @@ if os.environ.get("QLDPC_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["QLDPC_PLATFORM"])
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "..", "tests"))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+sys.path.insert(0, _ROOT)
 
 Z = 4.0
 
 
-def oracle_qbler(code, p, shots, dec_type, iters, schedule, osd_order, seed):
-    """Reference-semantics per-shot pipeline in NumPy."""
-    import oracle
-    from qldpcsim_tpu.decoders import layerize
-
+def _sample_channel(code, p, shots, seed):
     Hx = np.asarray(code.Hx) % 2
     Hz = np.asarray(code.Hz) % 2
     n = Hx.shape[1]
     rng = np.random.default_rng(seed + 7919)
     u = rng.random((shots, n))
-    # depolarizing: X w.p. p/3 (u<p/3), Y p/3, Z p/3 — same marginals as the
-    # channel module (channel/depolarizing.py).
     err_x = u < 2 * p / 3
     err_z = (u >= p / 3) & (u < p)
     sy_z = (err_x.astype(np.int64) @ Hz.T.astype(np.int64)) % 2
     sy_x = (err_z.astype(np.int64) @ Hx.T.astype(np.int64)) % 2
+    return Hx, Hz, err_x, err_z, sy_z, sy_x
 
+
+def _decode_side_batch(H, syn, p, dec_type, iters, layers, osd_order,
+                       bf_residual):
+    """Decode all shots of one side, preferring the native C++ oracle."""
+    import oracle
+    from qldpcsim_tpu.gf2.native import (bp_decode_native, ms_decode_native,
+                                         osd_decode_native)
+
+    B = syn.shape[0]
+    if dec_type == "MS":
+        out = ms_decode_native(H, syn, p / 3, iters, layers)
+        if out is not None:
+            e, _it, conv = out
+            assert osd_order < 0, "MS+OSD oracle rows not wired natively"
+            return e
+    if dec_type == "BP":
+        out = bp_decode_native(H, syn, p / 3, iters, layers)
+        if out is not None:
+            e, _it, conv, post = out
+            if osd_order >= 0:
+                fails = np.nonzero(~conv)[0]
+                if fails.size:
+                    eo = osd_decode_native(H, e[fails], syn[fails],
+                                           post[fails], osd_order)
+                    if eo is not None:
+                        e = e.copy()
+                        e[fails] = eo
+                        return e
+                else:
+                    return e
+            else:
+                return e
+    # per-shot NumPy fallback / BF / NG
+    es = np.zeros((B, H.shape[1]), np.int8)
+    for s in range(B):
+        if dec_type == "MS":
+            e, it, post, conv = oracle.ms_decode(H, syn[s], p / 3, iters, layers)
+            if osd_order >= 0 and not conv:
+                e = oracle.osd_decode(H, e, syn[s], post, osd_order)
+        elif dec_type == "BP":
+            e, it, post, conv = oracle.bp_decode_strict(H, syn[s], p / 3,
+                                                        iters, layers)
+            if osd_order >= 0 and not conv:
+                e = oracle.osd_decode(H, e, syn[s], post, osd_order)
+        elif dec_type == "BF":
+            e = oracle.bf_decode(H, syn[s], residual=bf_residual)[0]
+        elif dec_type == "NG":
+            e = oracle.ng_decode(H, syn[s])[0]
+        else:
+            raise ValueError(dec_type)
+        es[s] = np.asarray(e, np.int8) % 2
+    return es
+
+
+def oracle_qbler(code, p, shots, dec_type, iters, schedule, osd_order, seed,
+                 bf_residual="mod2"):
+    """Reference-semantics pipeline on the CPU oracle decoders."""
+    from qldpcsim_tpu.decoders import layerize
+
+    Hx, Hz, err_x, err_z, sy_z, sy_x = _sample_channel(code, p, shots, seed)
     serial = schedule == "S"
     if schedule == "F":
         layers_x = [np.arange(Hz.shape[0])]
@@ -64,61 +129,43 @@ def oracle_qbler(code, p, shots, dec_type, iters, schedule, osd_order, seed):
         layers_x = layerize(Hz, serial=serial)
         layers_z = layerize(Hx, serial=serial)
 
-    def dec(H, syn, layers):
-        if dec_type == "MS":
-            e, it, post, conv = oracle.ms_decode(H, syn, p / 3, iters, layers)
-            if osd_order >= 0 and not conv:
-                e = oracle.osd_decode(H, e, syn, post, osd_order)
-            return e
-        if dec_type == "BP":
-            e, it, post, conv = oracle.bp_decode(H, syn, p / 3, iters, layers)
-            if osd_order >= 0 and not conv:
-                e = oracle.osd_decode(H, e, syn, post, osd_order)
-            return e
-        if dec_type == "BF":
-            return oracle.bf_decode(H, syn)[0]
-        if dec_type == "NG":
-            return oracle.ng_decode(H, syn)[0]
-        raise ValueError(dec_type)
+    ex = _decode_side_batch(Hz, sy_z, p, dec_type, iters, layers_x,
+                            osd_order, bf_residual)
+    ez = _decode_side_batch(Hx, sy_x, p, dec_type, iters, layers_z,
+                            osd_order, bf_residual)
 
-    good = 0
-    for s in range(shots):
-        ex = dec(Hz, sy_z[s], layers_x)
-        ez = dec(Hx, sy_x[s], layers_z)
-        exact = np.array_equal(ex % 2, err_x[s].astype(np.int64)) and \
-            np.array_equal(ez % 2, err_z[s].astype(np.int64))
-        if exact:
-            good += 1
-        else:
-            # reference-compatible degenerate test (landmine L2): integer
-            # matmul without mod 2 must be exactly zero on both components.
-            rx = err_x[s].astype(np.int64) ^ (np.asarray(ex, np.int64) % 2)
-            rz = err_z[s].astype(np.int64) ^ (np.asarray(ez, np.int64) % 2)
-            if (Hz.astype(np.int64) @ rx == 0).all() and \
-               (Hx.astype(np.int64) @ rz == 0).all():
-                good += 1
+    # reference event classification (simulator.py:291-303), vectorized
+    rx = err_x.astype(np.int64) ^ (ex.astype(np.int64) % 2)
+    rz = err_z.astype(np.int64) ^ (ez.astype(np.int64) % 2)
+    exact = (rx == 0).all(axis=1) & (rz == 0).all(axis=1)
+    degen = (~exact) \
+        & (Hz.astype(np.int64) @ rx.T == 0).all(axis=0) \
+        & (Hx.astype(np.int64) @ rz.T == 0).all(axis=0)
+    good = int((exact | degen).sum())
     return 1.0 - good / shots
 
 
-def engine_qbler(code, p, shots, dec_type, iters, schedule, osd_order, seed):
+def engine_qbler(code, p, shots, dec_type, iters, schedule, osd_order, seed,
+                 bf_residual="mod2"):
     from qldpcsim_tpu.engine.montecarlo import SimConfig, simulate_p
 
     cfg = SimConfig(shots=shots, dec_type=dec_type, dec_iterations=iters,
-                    dec_schedule=schedule, osd_order=osd_order, rng_seed=seed)
+                    dec_schedule=schedule, osd_order=osd_order, rng_seed=seed,
+                    bf_residual=bf_residual)
     r = simulate_p(code.Hx, code.Hz, p, cfg)
     return r.qbler, r.shots_per_s
 
 
 def run_one(name, code_name, p, n_new, n_ref, dec_type, iters, schedule,
-            osd_order=-1, seed=0):
+            osd_order=-1, seed=0, bf_residual="mod2"):
     from qldpcsim_tpu.codes import get_code
 
     code = get_code(code_name)
     q_new, sps = engine_qbler(code, p, n_new, dec_type, iters, schedule,
-                              osd_order, seed)
+                              osd_order, seed, bf_residual)
     t0 = time.time()
     q_ref = oracle_qbler(code, p, n_ref, dec_type, iters, schedule,
-                         osd_order, seed)
+                         osd_order, seed, bf_residual)
     ref_sps = n_ref / max(time.time() - t0, 1e-9)
     pool = (q_new * n_new + q_ref * n_ref) / (n_new + n_ref)
     var = max(pool * (1 - pool), 1.0 / (n_new + n_ref))
@@ -132,6 +179,7 @@ def run_one(name, code_name, p, n_new, n_ref, dec_type, iters, schedule,
         "pass": bool(abs(q_new - q_ref) <= bound),
         "engine_shots_per_s": round(sps, 1),
         "oracle_shots_per_s": round(ref_sps, 2),
+        **({"bf_residual": bf_residual} if dec_type == "BF" else {}),
     }
 
 
@@ -141,24 +189,30 @@ def main(argv=None):
                     help="scale factor on oracle shot counts")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
-    s = args.scale
+
+    def s(x):
+        return max(64, int(x * args.scale))
 
     rows = []
-    # BASELINE.json configs 1-5 (oracle shot counts sized to CPU cost).
-    rows.append(run_one("1_shor_bp_p01", "shor", 0.01, 20000, int(1000 * s), "BP", 99, "F"))
-    rows.append(run_one("1_shor_bp_p05", "shor", 0.05, 20000, int(1000 * s), "BP", 99, "F"))
-    rows.append(run_one("2_steane_nms_layered", "steane", 0.05, 20000, int(1000 * s), "MS", 50, "L"))
-    rows.append(run_one("3_bicycle_bf", "bicycle", 0.02, 20000, int(600 * s), "BF", 50, "F"))
-    rows.append(run_one("3_bicycle_ng", "bicycle", 0.01, 20000, int(600 * s), "NG", 0, "F"))
-    rows.append(run_one("4_tanner_ms_serial", "tanner", 0.04, 4096, int(60 * s), "MS", 30, "S"))
-    rows.append(run_one("5_lp04_bp_osd2", "lp04_0", 0.04, 8192, int(60 * s), "BP", 30, "F", osd_order=2))
-    rows.append(run_one("5_lp118_bp_osd2", "lp118_0", 0.05, 8192, int(40 * s), "BP", 30, "F", osd_order=2))
+    # BASELINE.json configs 1-5. Oracle counts sized so every 4-sigma bound
+    # lands <= 0.02 at full scale (the worst case is bicycle BF, qBLER~0.4).
+    rows.append(run_one("1_shor_bp_p01", "shor", 0.01, 100000, s(20000), "BP", 99, "F"))
+    rows.append(run_one("1_shor_bp_p05", "shor", 0.05, 100000, s(20000), "BP", 99, "F"))
+    rows.append(run_one("2_steane_nms_layered", "steane", 0.05, 100000, s(20000), "MS", 50, "L"))
+    rows.append(run_one("3_bicycle_bf", "bicycle", 0.02, 100000, s(20000), "BF", 50, "F"))
+    rows.append(run_one("3_bicycle_bf_refres", "bicycle", 0.02, 100000, s(20000), "BF", 50, "F",
+                        bf_residual="bool"))
+    rows.append(run_one("3_bicycle_ng", "bicycle", 0.01, 100000, s(20000), "NG", 0, "F"))
+    rows.append(run_one("4_tanner_ms_serial", "tanner", 0.04, 65536, s(10000), "MS", 30, "S"))
+    rows.append(run_one("5_lp04_bp_osd2", "lp04_0", 0.04, 100000, s(20000), "BP", 30, "F", osd_order=2))
+    rows.append(run_one("5_lp118_bp_osd2", "lp118_0", 0.05, 100000, s(10000), "BP", 30, "F", osd_order=2))
 
     out = "\n".join(json.dumps(r) for r in rows)
     print(out)
     n_fail = sum(not r["pass"] for r in rows)
-    print(f"# parity: {len(rows) - n_fail}/{len(rows)} within {Z}-sigma",
-          file=sys.stderr)
+    maxb = max(r["bound"] for r in rows)
+    print(f"# parity: {len(rows) - n_fail}/{len(rows)} within {Z}-sigma; "
+          f"max bound {maxb:.4f}", file=sys.stderr)
     if args.out:
         with open(args.out, "w") as f:
             f.write(out + "\n")

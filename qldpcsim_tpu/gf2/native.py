@@ -67,6 +67,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if hasattr(lib, "ms_decode_cpu_mt"):
         lib.ms_decode_cpu_mt.restype = ctypes.c_int
         lib.ms_decode_cpu_mt.argtypes = lib.ms_decode_cpu.argtypes + [ctypes.c_int]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    if hasattr(lib, "bp_decode_cpu"):
+        bp_args = [i8p, ctypes.c_int, ctypes.c_int,
+                   i8p, ctypes.c_int,
+                   ctypes.c_double, ctypes.c_int,
+                   i32p, i32p, ctypes.c_int,
+                   i8p, i32p, i8p, f64p]
+        lib.bp_decode_cpu.restype = ctypes.c_int
+        lib.bp_decode_cpu.argtypes = bp_args
+        lib.bp_decode_cpu_mt.restype = ctypes.c_int
+        lib.bp_decode_cpu_mt.argtypes = bp_args + [ctypes.c_int]
+    if hasattr(lib, "osd_decode_cpu"):
+        lib.osd_decode_cpu.restype = ctypes.c_int
+        lib.osd_decode_cpu.argtypes = [i8p, ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_int,
+                                       i8p, i8p, f64p, ctypes.c_int,
+                                       ctypes.c_int, i8p]
     _LIB = lib
     return _LIB
 
@@ -133,3 +150,53 @@ def ms_decode_native(H: np.ndarray, syndromes: np.ndarray, p: float,
     else:
         lib.ms_decode_cpu(*args)
     return e_out, iters, conv.astype(bool)
+
+
+def bp_decode_native(H: np.ndarray, syndromes: np.ndarray, p: float,
+                     max_iter: int, layers, threads: int = 0):
+    """Batched STRICT-reference-numerics CPU BP decode (float64, eps=1e-9,
+    clamp-by-subtraction; see csrc/gf2core.cpp bp_decode_cpu). Returns
+    (e_hat int8, n_iter int32, converged bool, posterior float64) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bp_decode_cpu"):
+        return None
+    H = np.ascontiguousarray(H, dtype=np.int8)
+    syn = np.ascontiguousarray(syndromes, dtype=np.int8)
+    m, n = H.shape
+    B = syn.shape[0]
+    starts = np.asarray([int(l[0]) if len(l) else 0 for l in layers], np.int32)
+    ends = np.asarray([int(l[-1]) + 1 if len(l) else 0 for l in layers], np.int32)
+    e_out = np.zeros((B, n), np.int8)
+    iters = np.zeros(B, np.int32)
+    conv = np.zeros(B, np.int8)
+    post = np.zeros((B, n), np.float64)
+    lib.bp_decode_cpu_mt(
+        _i8p(H), m, n, _i8p(syn), B,
+        ctypes.c_double(p), max_iter,
+        _i32p(starts), _i32p(ends), len(layers),
+        _i8p(e_out), _i32p(iters), _i8p(conv),
+        post.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), threads)
+    return e_out, iters, conv.astype(bool), post
+
+
+def osd_decode_native(H: np.ndarray, e_hat: np.ndarray, syndromes: np.ndarray,
+                      posterior: np.ndarray, order: int):
+    """Batched CPU OSD post-decode (framework semantics — see
+    csrc/gf2core.cpp osd_decode_cpu). Returns (B, n) int8 or None."""
+    from qldpcsim_tpu import gf2
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "osd_decode_cpu"):
+        return None
+    H = np.ascontiguousarray(H, dtype=np.int8)
+    m, n = H.shape
+    rank = gf2.rank(H)
+    e_in = np.ascontiguousarray(e_hat, dtype=np.int8)
+    syn = np.ascontiguousarray(syndromes, dtype=np.int8)
+    post = np.ascontiguousarray(posterior, dtype=np.float64)
+    B = e_in.shape[0]
+    e_out = np.zeros((B, n), np.int8)
+    lib.osd_decode_cpu(_i8p(H), m, n, rank, _i8p(e_in), _i8p(syn),
+                       post.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                       B, int(order), _i8p(e_out))
+    return e_out

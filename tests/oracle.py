@@ -91,6 +91,47 @@ def bp_decode(H, syndrome, p, max_iter, layers, eps=1e-6):
     return e, max_iter, post, False
 
 
+def bp_decode_strict(H, syndrome, p, max_iter, layers, eps=1e-9):
+    """Sum-product BP with the reference's EXACT numerics
+    (decoders.py:189-290): float64 messages, eps=1e-9,
+    L0=log((1-p)/max(p,eps)), per-edge th2 = prod/tanh(v/2) with
+    clamp-by-subtraction (|th2| >= 1-eps => th2 -= eps*sign(th2)),
+    layered CN + global VN update + per-layer early exit."""
+    H = np.asarray(H)
+    m, n = H.shape
+    sup = H == 1
+    L0 = np.log((1 - p) / max(p, eps))
+    v2c = np.where(sup, L0, 0.0)
+    c2v = np.zeros((m, n), np.float64)
+    e = np.zeros(n, int)
+    post = np.full(n, L0, np.float64)
+    for it in range(max_iter):
+        for layer in layers:
+            for i in layer:
+                msk = sup[i]
+                if not msk.any():
+                    continue
+                t = np.tanh(v2c[i, msk] / 2.0)
+                prod = 1.0
+                for tv in t:       # sequential product, edge order
+                    prod = prod * tv
+                th2 = prod / t
+                big = np.abs(th2) >= 1 - eps
+                th2 = np.where(big, th2 - eps * np.sign(th2), th2)
+                val = 2 * np.arctanh(th2)
+                if syndrome[i]:
+                    val = -val
+                row = np.zeros(n, np.float64)
+                row[msk] = val
+                c2v[i] = row
+            post = L0 + c2v.sum(axis=0)
+            e = (post < 0).astype(int)
+            v2c = np.where(sup, post[None, :] - c2v, 0.0)
+            if np.array_equal((H.astype(np.int64) @ e) % 2, syndrome):
+                return e, it + 1, post, True
+    return e, max_iter, post, False
+
+
 def bf_decode(H, syndrome, max_iter=50, residual="mod2"):
     """Bit-flipping, reference semantics (decoders.py:74-102).
 
