@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "(per-p counters bit-exact vs the serial sweep).")
     tpu.add_argument("--layerCompat", action="store_true",
                      help="Reproduce the reference's cross-wired layer derivation.")
+    tpu.add_argument("--validateEncoding", action="store_true",
+                     help="Run the full encode->corrupt->extract pipeline "
+                          "(GF(2) codeword frames; counters provably equal "
+                          "the frame-free channel).")
     tpu.add_argument("--bfResidual", choices=("mod2", "bool"), default="mod2",
                      help="BF residual semantics: mod2 (parity, default) or "
                           "bool (reference's any-overlap residual — see "
@@ -116,7 +120,7 @@ def main(argv: Optional[list] = None) -> int:
         shots=args.shots, dec_type=args.decType, dec_iterations=args.decIterations,
         dec_schedule=args.decSchedule, osd_order=args.OSDorder,
         rng_seed=args.rngSeed, batch_size=args.batch, layer_compat=args.layerCompat,
-        bf_residual=args.bfResidual,
+        bf_residual=args.bfResidual, validate_encoding=args.validateEncoding,
         mesh=mesh, mesh_p=args.mesh_p,
         checkpoint_dir=args.checkpointDir, progress=not args.quiet,
     )

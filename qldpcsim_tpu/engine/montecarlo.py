@@ -80,6 +80,17 @@ class SimConfig:
     layer_compat: bool = False    # reproduce reference cross-wired layers (L1)
     bf_residual: str = "mod2"     # BF residual: "mod2" | "bool" (reference
                                   # compat — see DIVERGENCES.md "BF residual")
+    validate_encoding: bool = False  # full encode->corrupt->extract mode:
+                                  # sample a random codeword frame with the
+                                  # tableau-free GF(2) CSSEncoder (reference
+                                  # encode pipeline simulator.py:78-160),
+                                  # XOR the channel error into it, extract
+                                  # syndromes FROM THE CORRUPTED CODEWORD,
+                                  # decode, and classify against word XOR
+                                  # frame. Counters are bit-exact with the
+                                  # frame-free channel (frame invariance) —
+                                  # this mode exists to PROVE that end to
+                                  # end (tests/test_engine.py)
     mesh: object = None           # jax.sharding.Mesh over a 'shots' axis
     mesh_p: int = 0               # >0: p-points become a SECOND mesh axis —
                                   # simulate_sweep shards a ('p','shots')
@@ -197,6 +208,11 @@ class ShotPipeline:
                         if hw_sampler_available(dcfg.platform)
                         else sample_shot_tiles)
         self.classifier = ClassifierStatic.build(self.Hx, self.Hz)
+        self.encoder = None
+        if cfg.validate_encoding:
+            from qldpcsim_tpu.channel.encoder import CSSEncoder
+
+            self.encoder = CSSEncoder.build(self.Hx, self.Hz)
         # Host-side NumPy (embedded as trace-time constants; keeps pipeline
         # construction device-free and backend-agnostic).
         self.Hx_T = np.ascontiguousarray(self.Hx.T).astype(np.float32)
@@ -256,6 +272,32 @@ class ShotPipeline:
 
     # ---------------- fused chunk body (fast path + in-body OSD) ----------------
 
+    def _sample_chunk(self, tile_keys, p):
+        """Channel sampling for one chunk; with cfg.validate_encoding the
+        FULL pipeline runs: encode a random codeword frame (tableau-free
+        GF(2) CSSEncoder — the reference's encode stage,
+        simulator.py:78-160), corrupt it with the channel error, extract
+        syndromes from the CORRUPTED codeword, and recover the effective
+        error as word XOR frame. Frames are stabilizer/logical-coset
+        vectors, annihilated by both check matrices, so the syndromes and
+        effective errors — and therefore every counter — are bit-exact
+        with the frame-free channel (the frame-invariance theorem this
+        mode exists to prove end-to-end; see channel/depolarizing.py)."""
+        err_x, err_z, sy_z, sy_x = self._sample(
+            tile_keys, p, self.n, self.tile, self.Hx_T, self.Hz_T)
+        if self.encoder is None:
+            return err_x, err_z, sy_z, sy_x
+        from qldpcsim_tpu.channel.depolarizing import syndromes_of
+
+        fkey = jax.random.fold_in(tile_keys[0], 0x454E43)  # 'ENC'
+        fx, fz = self.encoder.encode(fkey, err_x.shape[0])
+        word_x = jnp.logical_xor(err_x, fx.astype(bool))
+        word_z = jnp.logical_xor(err_z, fz.astype(bool))
+        sy_z, sy_x = syndromes_of(word_x, word_z, self.Hx_T, self.Hz_T)
+        eff_x = jnp.logical_xor(word_x, fx.astype(bool))
+        eff_z = jnp.logical_xor(word_z, fz.astype(bool))
+        return eff_x, eff_z, sy_z, sy_x
+
     def _chunk_body(self, tile_keys, p, n_valid):
         """One per-device chunk: sample + decode [+ OSD] + classify -> int32
         counters. Self-contained (OSD failures are fully resolved in-chunk);
@@ -264,8 +306,7 @@ class ShotPipeline:
 
         tile_keys: (tiles_per_dev, 2) uint32, one key per global RNG tile.
         """
-        err_x, err_z, sy_z, sy_x = self._sample(
-            tile_keys, p, self.n, self.tile, self.Hx_T, self.Hz_T)
+        err_x, err_z, sy_z, sy_x = self._sample_chunk(tile_keys, p)
         prior = p / 3.0  # reference prior (landmine L3, simulator.py:278-279)
         res_x = self.dec_x(sy_z, prior)
         res_z = self.dec_z(sy_x, prior)
@@ -318,8 +359,7 @@ class ShotPipeline:
         (_osd_group_finish). Failures beyond the deferral capacity — only
         possible at very high p — are OSD-processed in-chunk, so counters
         never depend on the failure rate."""
-        err_x, err_z, sy_z, sy_x = self._sample(
-            tile_keys, p, self.n, self.tile, self.Hx_T, self.Hz_T)
+        err_x, err_z, sy_z, sy_x = self._sample_chunk(tile_keys, p)
         prior = p / 3.0
         res_x = self.dec_x(sy_z, prior)
         res_z = self.dec_z(sy_x, prior)

@@ -168,6 +168,27 @@ def test_osd_fused_matches_host_compaction():
     assert totals["nIterAccX"] == round(r.avg_iterations_x * shots)
 
 
+@pytest.mark.parametrize("codename,dec,osd", [("steane", "MS", -1),
+                                              ("lp04_0", "BP", 1)])
+def test_validate_encoding_counters_equal_frame_free(codename, dec, osd):
+    """Full encode->corrupt->extract->decode->verify pipeline
+    (SimConfig.validate_encoding): a random GF(2) codeword frame is encoded
+    per shot, the channel error XORed into it, syndromes extracted from the
+    corrupted codeword. Frames are annihilated by both check matrices, so
+    every counter must equal the frame-free channel's BIT-EXACTLY — this is
+    the engine-level frame-invariance proof (reference encode pipeline:
+    simulator.py:78-160)."""
+    code = get_code(codename)
+    base = dict(shots=384, dec_type=dec, dec_iterations=8, rng_seed=19,
+                osd_order=osd, batch_size=128)
+    r_plain = simulate_p(code.Hx, code.Hz, 0.04, SimConfig(**base))
+    r_enc = simulate_p(code.Hx, code.Hz, 0.04,
+                       SimConfig(validate_encoding=True, **base))
+    assert r_enc.counters == r_plain.counters
+    assert r_enc.avg_iterations_x == r_plain.avg_iterations_x
+    assert r_enc.avg_iterations_z == r_plain.avg_iterations_z
+
+
 def test_bp_and_bf_and_ng_paths():
     code = get_code("steane")
     for dec in ("BP", "BF", "NG"):
