@@ -45,6 +45,42 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_CPU_BASELINE.json")
 
 
+# --- VPU roofline accounting (see docs/PERFORMANCE.md "Roofline") ---
+# One v5e TensorCore VPU: (8, 128) lanes x 4 ALUs x ~0.94 GHz.
+VPU_PEAK_OPS_S = 8 * 128 * 4 * 0.94e9  # ~3.85e12 elementwise op/s
+# Minimum VPU work per Tanner-graph edge per MS iteration in the QC-kernel
+# formulation (ops/ms_qc_pallas.py): v2c = roll(post) - c2v (2: roll copy +
+# sub), CN min/min2/sign (abs + 2 min updates + sign parity + magnitude
+# select + 2 multiplies = 7), posterior += roll(delta) (3), per-iteration
+# rolled-XOR convergence re-check (2), message write-back (1).
+OPS_PER_EDGE_ITER = 15
+
+
+def roofline_stats(tot, n_shots, sps):
+    """Effective VPU utilization: ops the decode PROBLEM required (per-shot
+    converged iterations x edges x per-edge op floor) over peak. Executed
+    utilization is higher — cascade stages run whole lane-blocks to the
+    slowest lane — so this is a lower bound on hardware-busy fraction."""
+    import numpy as np
+
+    from qldpcsim_tpu.codes import get_code
+
+    code = get_code(CODE)
+    nnz_z = int((np.asarray(code.Hz) % 2).sum())  # X decode runs through Hz
+    nnz_x = int((np.asarray(code.Hx) % 2).sum())
+    it_x = float(tot["nIterAccX"]) / n_shots
+    it_z = float(tot["nIterAccZ"]) / n_shots
+    ops_per_shot = OPS_PER_EDGE_ITER * (nnz_z * it_x + nnz_x * it_z)
+    ops_per_s = ops_per_shot * sps
+    return {
+        "vpu_ops_per_s": round(ops_per_s / 1e9, 1),  # Gop/s
+        "vpu_peak_frac": round(ops_per_s / VPU_PEAK_OPS_S, 4),
+        "avg_iters_x": round(it_x, 3),
+        "avg_iters_z": round(it_z, 3),
+        "edges": nnz_x + nnz_z,
+    }
+
+
 def measure_tpu_shots_per_s():
     import jax
     import jax.numpy as jnp
@@ -89,7 +125,7 @@ def measure_tpu_shots_per_s():
     dt = time.perf_counter() - t0
     n_shots = REPS * BATCH * BENCH_CHUNKS
     assert int(tot["decSuccessExact"]) > 0  # sanity: decode really ran
-    return n_shots / dt, dt
+    return n_shots / dt, dt, tot, n_shots
 
 
 def measure_cpu_baseline(n_shots=12):
@@ -128,13 +164,14 @@ def measure_cpu_baseline(n_shots=12):
 
 
 def main():
-    tpu_sps, dt = measure_tpu_shots_per_s()
+    tpu_sps, dt, tot, n_shots = measure_tpu_shots_per_s()
     cpu_sps = measure_cpu_baseline()
     print(json.dumps({
         "metric": f"decoded_shots_per_s_chip ({CODE}, MS layered, {MAX_ITER} iters, p={P_POINT})",
         "value": round(tpu_sps, 1),
         "unit": "shots/s",
         "vs_baseline": round(tpu_sps / cpu_sps, 1),
+        **roofline_stats(tot, n_shots, tpu_sps),
     }))
 
 

@@ -184,8 +184,26 @@ class ShotPipeline:
         self.exec_device = _resolve_exec_device(
             cfg, min(self.n, self.Hx.shape[0], self.Hz.shape[0]))
         dcfg = cfg.decoder_config()
-        if self.exec_device is not None and self.exec_device.platform == "cpu":
-            dcfg = dataclasses.replace(dcfg, platform="cpu")
+        # Resolve the EXECUTION platform from the devices this pipeline will
+        # actually run on (mesh devices / CPU-fallback device), not from the
+        # session's default backend: a CPU-device mesh under a TPU default
+        # backend must not compile Mosaic kernels, and vice versa. Gates all
+        # Pallas paths (QC decode kernels, GF(2) elimination, hw-PRNG
+        # channel) through dcfg.platform.
+        if dcfg.platform == "auto":
+            plat = None
+            if cfg.mesh is not None:
+                plats = {d.platform.lower()
+                         for d in np.asarray(cfg.mesh.devices).ravel()}
+                if plats <= {"tpu", "axon"}:
+                    plat = "tpu"
+                elif plats == {"cpu"}:
+                    plat = "cpu"
+            elif self.exec_device is not None:
+                plat = ("cpu" if self.exec_device.platform == "cpu"
+                        else "tpu")
+            if plat is not None:
+                dcfg = dataclasses.replace(dcfg, platform=plat)
 
         # X errors are decoded through Hz, Z errors through Hx
         # (reference simulator.py:272-282).
