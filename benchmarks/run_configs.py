@@ -81,10 +81,11 @@ def main(argv=None):
         ("3_bicycle_ng", "bicycle", [0.01, 0.03], int(5000 * s), "NG", 0, "F", -1),
         # 4. Tanner, MS serial, p-sweep (config 4)
         ("4_tanner_ms_serial", "tanner",
-         list(np.round(np.linspace(0.01, 0.1, 4), 3)), int(2000 * s), "MS", 30, "S", -1),
-        # 5. LP04/LP118, BP + OSD-2, 1e5 shots (config 5)
-        ("5_lp04_bp_osd2", "lp04_0", [0.03], int(100000 * s), "BP", 30, "F", 2),
-        ("5_lp118_bp_osd2", "lp118_0", [0.03], int(100000 * s), "BP", 30, "F", 2),
+         list(np.round(np.linspace(0.01, 0.1, 4), 3)), int(65536 * s), "MS", 30, "S", -1),
+        # 5. LP04/LP118, BP + OSD-2 (config 5; >=1e6 shots now that the
+        # deferred group OSD path runs at ~1.4M shots/s warm)
+        ("5_lp04_bp_osd2", "lp04_0", [0.03], int(1048576 * s), "BP", 30, "F", 2),
+        ("5_lp118_bp_osd2", "lp118_0", [0.03], int(2621440 * s), "BP", 30, "F", 2),
     ]
     if args.only:
         prefixes = tuple(x.strip() for x in args.only.split(","))
