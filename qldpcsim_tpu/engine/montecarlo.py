@@ -164,6 +164,18 @@ def _auto_batch(n: int, shots: int, n_dev: int) -> int:
     return max(quantum, (b // quantum) * quantum)
 
 
+def _compact_indices(mask, cap: int, fill: int):
+    """Indices of True lanes in ascending order, compacted to the front of a
+    fixed (cap,)-slot buffer; slots beyond the count hold `fill`. Same
+    result as `argsort(~mask, stable=True)[:cap]` on the True prefix, at a
+    fraction of a sort's cost (one cumsum + one scatter)."""
+    B = mask.shape[0]
+    pos = jnp.cumsum(mask) - 1                  # rank among True lanes
+    tgt = jnp.where(mask, pos, cap)             # cap = out of bounds: dropped
+    return jnp.full(cap, fill, jnp.int32).at[tgt].set(
+        jnp.arange(B, dtype=jnp.int32), mode="drop")
+
+
 def _tile_size(batch: int, per_dev: int) -> int:
     """RNG tile size: 64 when the layout allows (=> layout-invariant
     counters), else the largest divisor of both."""
@@ -351,8 +363,11 @@ class ShotPipeline:
         """
         B = e_hat.shape[0]
         cap = math.gcd(B, 256)
-        # stable argsort of (~failed): failed shots first, original order.
-        order = jnp.argsort(~failed, stable=True).astype(jnp.int32)
+        # Compaction by cumsum-scatter (same stable lane-ascending order as
+        # a stable argsort of ~failed, at a fraction of a sort's cost):
+        # order[p] = lane of the p-th failed shot; empty slots hold B, so
+        # their window writes fall out of bounds and are dropped.
+        order = _compact_indices(failed, B, fill=B)
         n_failed = jnp.sum(failed)
 
         def cond(c):
@@ -365,7 +380,7 @@ class ShotPipeline:
             win_valid = (lo + jnp.arange(cap)) < n_failed
             e_new = osd(e_cur[idx], syn[idx], post[idx])
             e_new = jnp.where(win_valid[:, None], e_new, e_cur[idx])
-            return lo + cap, e_cur.at[idx].set(e_new)
+            return lo + cap, e_cur.at[idx].set(e_new, mode="drop")
 
         _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), e_hat))
         return out
@@ -384,12 +399,15 @@ class ShotPipeline:
         B = err_x.shape[0]
         valid = jnp.arange(B) < n_valid
         failed_u = (~(res_x.converged & res_z.converged)) & valid
-        order = jnp.argsort(~failed_u, stable=True).astype(jnp.int32)
         F = self._defer_cap
-        didx = order[:F]
+        # cumsum-scatter compaction (lane-ascending, same set a stable
+        # argsort prefix would pick); lanes whose failure rank exceeds F
+        # overflow to the in-chunk OSD below.
+        pos = jnp.cumsum(failed_u) - 1
+        deferred = failed_u & (pos < F)
+        didx = _compact_indices(failed_u, F, fill=0)
         n_defer = jnp.minimum(jnp.sum(failed_u), F)
         dvalid = jnp.arange(F) < n_defer
-        deferred = jnp.zeros(B, bool).at[didx].set(dvalid)
 
         ex_hat = self._apply_osd(self.osd_x, res_x.e_hat, res_x.posterior,
                                  sy_z, (~res_x.converged) & valid & ~deferred)
