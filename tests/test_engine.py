@@ -168,6 +168,52 @@ def test_osd_fused_matches_host_compaction():
     assert totals["nIterAccX"] == round(r.avg_iterations_x * shots)
 
 
+def test_osd_defer_overflow_path():
+    """At very high p the union failure count exceeds the per-chunk deferral
+    capacity F, exercising the in-chunk overflow OSD windows alongside the
+    group-level pass. Counters must still match the independent host-side
+    per-failed-shot OSD application exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from qldpcsim_tpu.parallel.mesh import chunk_keys
+
+    code = get_code("lp04_0")
+    shots, batch, p, seed = 512, 512, 0.22, 3
+    cfg = SimConfig(shots=shots, dec_type="MS", dec_iterations=4,
+                    dec_schedule="F", osd_order=0, rng_seed=seed,
+                    batch_size=batch)
+    pipe = ShotPipeline(code.Hx, code.Hz, cfg)
+    assert pipe._defer_cap == 256  # F < batch: overflow is possible
+
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), 0)
+    p32 = jnp.float32(p)
+    keys = chunk_keys(key, 0, pipe.tiles_per_chunk)
+    err_x, err_z, sy_z, sy_x = pipe._sample(
+        keys, p32, pipe.n, pipe.tile, pipe.Hx_T, pipe.Hz_T)
+    res_x = pipe.dec_x(sy_z, p32 / 3.0)
+    res_z = pipe.dec_z(sy_x, p32 / 3.0)
+    n_union = int(np.sum(~(np.asarray(res_x.converged)
+                           & np.asarray(res_z.converged))))
+    assert n_union > 256, f"p too low to overflow (union failures {n_union})"
+
+    r = simulate_p(code.Hx, code.Hz, p, cfg)
+    expected = None
+    e_hats = []
+    for res, syn, osd in ((res_x, sy_z, pipe.osd_x), (res_z, sy_x, pipe.osd_z)):
+        e = np.asarray(res.e_hat).copy()
+        failed = np.nonzero(~np.asarray(res.converged))[0]
+        e_new = osd(res.e_hat[failed], syn[failed], res.posterior[failed])
+        e[failed] = np.asarray(e_new)
+        e_hats.append(jnp.asarray(e))
+    counts = jax.device_get(pipe._count(
+        err_x, err_z, e_hats[0], e_hats[1], sy_z, sy_x,
+        res_x.n_iter, res_z.n_iter, jnp.int32(batch)))
+    expected = {k: int(v) for k, v in counts.items()}
+    for k, v in r.counters.items():
+        assert expected[k] == v, (k, expected[k], v)
+
+
 @pytest.mark.parametrize("codename,dec,osd", [("steane", "MS", -1),
                                               ("lp04_0", "BP", 1)])
 def test_validate_encoding_counters_equal_frame_free(codename, dec, osd):
