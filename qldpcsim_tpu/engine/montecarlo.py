@@ -626,12 +626,16 @@ def simulate_sweep(Hx: np.ndarray, Hz: np.ndarray, ps: Sequence[float],
     def per_device(p_blk, keys_blk, nv_blk):
         counts = pipe._multi_chunk_body(keys_blk[0, 0], p_blk[0], nv_blk[0, 0])
         counts = {k: jax.lax.psum(v, "shots") for k, v in counts.items()}
-        return {k: v[None] for k, v in counts.items()}
+        # all-gather the per-p rows so the result is fully replicated —
+        # under a multi-PROCESS mesh every process must be able to fetch
+        # the whole (n_p,) counter vector (p-sharded output rows would not
+        # be addressable off-process).
+        return {k: jax.lax.all_gather(v, "p") for k, v in counts.items()}
 
     step = jax.jit(jax.shard_map(
         per_device, mesh=mesh2,
         in_specs=(P("p"), P("p", "shots"), P("p", "shots")),
-        out_specs=P("p"), check_vma=False))
+        out_specs=P(), check_vma=False))
 
     ps = np.asarray(ps, dtype=np.float64)
     results: List[PPointResult] = []

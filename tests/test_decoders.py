@@ -232,3 +232,65 @@ def test_schedule_padding():
     assert (sched.rows[sched.rows < H.shape[0]] < H.shape[0]).all()
     flat = sched.rows[sched.rows < H.shape[0]]
     assert sorted(flat.tolist()) == list(range(H.shape[0]))
+
+
+def _random_sparse_H(rng, m, n, row_w=4, zero_rows=1, zero_cols=1):
+    """Adversarial random parity-check matrix: irregular row weights, plus
+    explicit all-zero rows/columns and degree-1 variables — the structural
+    edge cases the padded edge layout must absorb."""
+    H = np.zeros((m, n), np.int8)
+    for i in range(m):
+        w = rng.integers(1, row_w + 1)
+        H[i, rng.choice(n, size=w, replace=False)] = 1
+    for i in rng.choice(m, size=min(zero_rows, m), replace=False):
+        H[i] = 0
+    for j in rng.choice(n, size=min(zero_cols, n), replace=False):
+        H[:, j] = 0
+    # force one degree-1 variable
+    free = np.nonzero(H.sum(axis=0) == 0)[0]
+    if free.size and H[0].sum() == 0:
+        H[0, free[0]] = 1
+    return H
+
+
+@pytest.mark.parametrize("seed,schedule", [(0, "F"), (1, "L"), (2, "S")])
+def test_fuzz_random_H_ms_bp_match_oracle(seed, schedule):
+    """MS/BP edge implementations stay oracle-bit-exact on random irregular
+    matrices (not just the structured library codes)."""
+    rng = np.random.default_rng(seed)
+    H = _random_sparse_H(rng, m=24, n=40)
+    graph = TannerGraph.build(H)
+    layers = _layers_of(H, schedule)
+    errs, syn = _sample_shots(rng, H, 24, weight_p=0.08)
+    sched = build_layers(H, schedule)
+    for make, orc in ((make_ms_decoder, oracle.ms_decode),
+                      (make_bp_decoder, oracle.bp_decode)):
+        dec = make(graph, DecoderConfig(max_iter=8, schedule=schedule),
+                   layers=sched)
+        res = dec(syn, 0.02)
+        e_hat = np.asarray(res.e_hat)
+        n_iter = np.asarray(res.n_iter)
+        mismatch = 0
+        for s in range(syn.shape[0]):
+            e_ref, it_ref, _post, _c = orc(H, syn[s], 0.02, 8, layers)
+            if not ((e_hat[s] == e_ref).all() and n_iter[s] == it_ref):
+                mismatch += 1
+        assert mismatch <= 1, f"{make.__name__}: {mismatch}/24 diverged"
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_fuzz_random_H_bf_ng_match_oracle(seed):
+    rng = np.random.default_rng(seed)
+    H = _random_sparse_H(rng, m=20, n=32)
+    graph = TannerGraph.build(H)
+    errs, syn = _sample_shots(rng, H, 32, weight_p=0.1)
+    dec_bf = make_bf_decoder(graph, DecoderConfig(dec_type="BF"))
+    dec_ng = make_ng_decoder(graph, DecoderConfig(dec_type="NG"))
+    rb = dec_bf(syn)
+    rn = dec_ng(syn)
+    for s in range(syn.shape[0]):
+        e_ref, it_ref, _c = oracle.bf_decode(H, syn[s])
+        assert (np.asarray(rb.e_hat)[s] == e_ref).all(), f"BF shot {s}"
+        assert int(np.asarray(rb.n_iter)[s]) == it_ref, f"BF iters shot {s}"
+        e_ng, steps = oracle.ng_decode(H, syn[s])
+        assert (np.asarray(rn.e_hat)[s] == e_ng).all(), f"NG shot {s}"

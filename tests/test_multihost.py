@@ -47,9 +47,18 @@ _CHILD = textwrap.dedent("""
     cfg = SimConfig(shots=%d, dec_type="MS", dec_iterations=%d, rng_seed=%d,
                     batch_size=%d, mesh=make_mesh(), device="default")
     r = simulate_p(code.Hx, code.Hz, %r, cfg)
+
+    # p-sweep over the ('p','shots') mesh ACROSS the two processes: each
+    # process owns one p-row; per-p counters must come back global.
+    from qldpcsim_tpu.engine.montecarlo import simulate_sweep
+    cfg2 = SimConfig(shots=%d, dec_type="MS", dec_iterations=%d, rng_seed=%d,
+                     batch_size=%d, mesh_p=2, device="default")
+    sweep = simulate_sweep(code.Hx, code.Hz, [%r, 0.06], cfg2)
     with open(os.environ["QLDPC_MH_OUT"] + str(jax.process_index()), "w") as f:
-        json.dump(r.counters, f)
-""" % (_REPO, _SHOTS, _ITERS, _SEED, _BATCH, _P))
+        json.dump({"single": r.counters,
+                   "sweep": [s.counters for s in sweep]}, f)
+""" % (_REPO, _SHOTS, _ITERS, _SEED, _BATCH, _P,
+       _SHOTS, _ITERS, _SEED, _BATCH, _P))
 
 
 def test_two_process_counters_match_single_process(tmp_path):
@@ -87,13 +96,18 @@ def test_two_process_counters_match_single_process(tmp_path):
     c1 = json.load(open(out_prefix + "1"))
     assert c0 == c1
 
-    # Bit-exact against a single-process run of the same configuration
+    # Bit-exact against single-process runs of the same configuration
     # (integer counter psum + layout-invariant RNG tile stream).
     code = get_code("steane")
     cfg = SimConfig(shots=_SHOTS, dec_type="MS", dec_iterations=_ITERS,
                     rng_seed=_SEED, batch_size=_BATCH)
     ref = simulate_p(code.Hx, code.Hz, _P, cfg)
-    assert c0 == ref.counters
+    assert c0["single"] == ref.counters
+
+    # cross-process p-sweep mesh: per-p rows match serial per-p runs
+    refs = [simulate_p(code.Hx, code.Hz, pT, cfg, p_index=i)
+            for i, pT in enumerate([_P, 0.06])]
+    assert c0["sweep"] == [r.counters for r in refs]
 
 
 def test_multihost_init_noop_without_context(monkeypatch):
