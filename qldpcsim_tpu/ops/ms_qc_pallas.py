@@ -58,9 +58,42 @@ def _roll_up(x, s: int, L: int):
     return jnp.concatenate([x[s:], x[:s]], axis=0)
 
 
+def _min12_merge(a1, a2, b1, b2):
+    """Merge two (min1, min2) pairs with the sequential loop's tie
+    semantics: on a1 == b1 the result is (a1, min(a2, b1)) — both equal
+    minima end up as (v, v), so the value-equality extrinsic rule
+    (mag = m2 where a == m1) sees the same numbers as the running
+    reduction."""
+    take_a = a1 <= b1
+    m1 = jnp.where(take_a, a1, b1)
+    m2 = jnp.where(take_a, jnp.minimum(a2, b1), jnp.minimum(b2, a1))
+    return m1, m2
+
+
+def _min12_tree(A, big):
+    """(min1, min2) over axis 0 of A ((d, L, B)) via a pairwise merge tree —
+    O(log d) full-array ops instead of d sequential small ops."""
+    d = A.shape[0]
+    m1 = A
+    m2 = jnp.full_like(A, big)
+    while d > 1:
+        half = d // 2
+        a1, a2 = m1[:half], m2[:half]
+        b1, b2 = m1[half:2 * half], m2[half:2 * half]
+        n1, n2 = _min12_merge(a1, a2, b1, b2)
+        if d % 2:
+            n1 = jnp.concatenate([n1, m1[2 * half:]], axis=0)
+            n2 = jnp.concatenate([n2, m2[2 * half:]], axis=0)
+            half += 1
+        m1, m2 = n1, n2
+        d = half
+    return m1[0], m2[0]
+
+
 def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
                  B_blk: int, kind: str = "MS", eps: float = 1e-6,
-                 check_every: str = "iter", dtype=jnp.float32):
+                 check_every: str = "iter", dtype=jnp.float32,
+                 vectorized: bool = False):
     L, n, m = st.L, st.n, st.m
     blocks = [st.blocks_of_row(i) for i in range(st.m_b)]
     n_b = st.n_b
@@ -203,6 +236,42 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
             c2v = c2v[:i] + (tuple(row),) + c2v[i + 1:]
             return c2v, tuple(post_blocks), tuple(mis)
 
+        def one_block_row_vec(i, c2v, post_blocks, snapshot, active_f, mis):
+            """MS check-node update of block-row i with the edge slots
+            STACKED into (d, L, B) arrays: the running min/min2/sign
+            reduction becomes a pairwise merge tree and every elementwise
+            op covers all d slots at once — O(log d) full-size ops instead
+            of O(d) small ones (the per-op Mosaic overhead on (L, B) tiles
+            dominated the loop formulation). Bit-identical values: the
+            merge tree reproduces the sequential value-equality tie
+            semantics (_min12_merge), and the roll/writeback order is
+            unchanged."""
+            bl = blocks[i]
+            af = active_f.astype(ct)
+            ss = syn_sign[i * L:(i + 1) * L]                  # (L, B)
+            R = jnp.stack(list(c2v[i]))                       # (d, L, B)
+            pos = jnp.stack([_roll_up(snapshot[j], s, L) for (j, s) in bl])
+            V = pos - R
+            A = jnp.abs(V)
+            NEG = (V < 0.0).astype(ct)
+            neg_par = jnp.sum(NEG, axis=0)                    # (L, B)
+            m1, m2 = _min12_tree(A, _BIG)                     # (L, B) each
+            m1c = jnp.where(m1 >= _BIG, 0.0, m1)
+            m2c = jnp.where(m2 >= _BIG, 0.0, m2)
+            par = neg_par - 2.0 * jnp.floor(neg_par * 0.5)
+            coef = beta * ss * (1.0 - 2.0 * par)              # (L, B)
+            sign = 1.0 - 2.0 * NEG                            # (d, L, B)
+            mag = jnp.where(A == m1c[None], m2c[None], m1c[None])
+            new_c2v = coef[None] * sign * mag
+            DELTA = (new_c2v - R) * af[None]
+            R = R + DELTA
+            c2v = c2v[:i] + (tuple(R[k] for k in range(len(bl))),) + c2v[i + 1:]
+            post_blocks = list(post_blocks)
+            for k, (j, s) in enumerate(bl):
+                post_blocks[j] = post_blocks[j] + _roll_up(
+                    DELTA[k], (L - s) % L, L)
+            return c2v, tuple(post_blocks), mis
+
         def check_mis(mis, done, it_lat, it):
             bad = jnp.zeros((1, B_blk), ct)
             for i2 in range(st.m_b):
@@ -211,6 +280,10 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
             newly = ok * (1.0 - done)
             it_lat = it_lat + newly * ((it + 1).astype(f32) - it_lat)
             return jnp.maximum(done, ok), it_lat
+
+        row_update = (one_block_row_vec
+                      if (vectorized and kind == "MS" and not track_mis)
+                      else one_block_row)
 
         def body(carry):
             it, c2v, post_blocks, done, it_lat, mis = carry
@@ -221,7 +294,7 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
                     active_f = 1.0 - done
                 snapshot = post_blocks
                 for i in group:
-                    c2v, post_blocks, mis = one_block_row(
+                    c2v, post_blocks, mis = row_update(
                         i, c2v, post_blocks, snapshot, active_f, mis)
                 if track_mis:
                     done, it_lat = check_mis(mis, done, it_lat, it)
@@ -290,11 +363,16 @@ def make_qc_decoder(st: QCStructure, cfg: DecoderConfig,
 
     dtype = (jnp.bfloat16 if os.environ.get("QLDPC_QC_DTYPE") == "bf16"
              else jnp.float32)
+    # Stacked (d, L, B) check-node update — measured NEGATIVE on v5e
+    # (flagship 4.52M vs 4.85M shots/s: the stack/concat relayouts cost
+    # more than the per-op overhead they save), kept opt-in for other
+    # targets (QLDPC_QC_VEC=1; MS flooding/iter-check only).
+    vectorized = os.environ.get("QLDPC_QC_VEC", "0") == "1"
     kernel = _make_kernel(st, layer_groups, float(cfg.beta),
                           int(cfg.max_iter), B_blk, kind=kind.upper(),
                           eps=float(cfg.eps),
                           check_every=getattr(cfg, "qc_check_every", "iter"),
-                          dtype=dtype)
+                          dtype=dtype, vectorized=vectorized)
 
     @functools.partial(jax.jit, static_argnames=())
     def _run(syn_T, lch):
