@@ -594,8 +594,9 @@ def simulate_sweep(Hx: np.ndarray, Hz: np.ndarray, ps: Sequence[float],
     psum-reduced over the 'shots' axis only. The per-p RNG key hierarchy
     (seed -> p-index -> global tile) and per-row chunk layout are identical
     to the serial p-loop, so per-p counters are BIT-EXACT vs simulate_p
-    (tested in tests/test_psweep.py). Checkpointing is per-sweep-block
-    granularity here, so cfg.checkpoint_dir is ignored.
+    (tested in tests/test_psweep.py). cfg.checkpoint_dir checkpoints per
+    (p-block, dispatch group) — a preempted sweep resumes at the last
+    completed group of the current block, like the serial path.
     """
     from jax.sharding import Mesh, PartitionSpec as P
 
@@ -638,6 +639,7 @@ def simulate_sweep(Hx: np.ndarray, Hz: np.ndarray, ps: Sequence[float],
         out_specs=P(), check_vma=False))
 
     ps = np.asarray(ps, dtype=np.float64)
+    store = CheckpointStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
     results: List[PPointResult] = []
     for blk0 in range(0, ps.size, n_p):
         blk = ps[blk0: blk0 + n_p]
@@ -648,8 +650,17 @@ def simulate_sweep(Hx: np.ndarray, Hz: np.ndarray, ps: Sequence[float],
                   for i in range(blk.size)]
         keys_p += [keys_p[-1]] * pad  # dummy rows (nv=0 -> no contribution)
         totals = {k: np.zeros(n_p, np.int64) for k in _COUNTER_KEYS}
+        ckpt_id = (f"sweepblk{blk0}_{cfg.dec_type}_{cfg.dec_schedule}_"
+                   f"{shots}_{n_p}")
+        start_chunk = 0
+        if store is not None:
+            saved = store.load(ckpt_id)
+            if saved is not None:
+                saved_tot, start_chunk = saved
+                totals = {k: np.asarray(v, np.int64)
+                          for k, v in saved_tot.items()}
         t0 = time.perf_counter()
-        c = 0
+        c = start_chunk
         while c < n_chunks:
             g = min(G, n_chunks - c)
             # per-p keys, laid out exactly like the 1-D mesh path:
@@ -669,6 +680,10 @@ def simulate_sweep(Hx: np.ndarray, Hz: np.ndarray, ps: Sequence[float],
             for k in _COUNTER_KEYS:
                 totals[k] += np.asarray(counts[k], np.int64)
             c += g
+            if store is not None:
+                store.save(ckpt_id,
+                           {k: [int(x) for x in v] for k, v in totals.items()},
+                           c)
             if cfg.progress:
                 print(f"\r(p-block {blk0 // n_p}) decoded "
                       f"{min(c * batch, shots)}/{shots} shots x {blk.size} p",

@@ -38,6 +38,44 @@ def test_psweep_bit_exact_vs_serial(dec, osd):
         assert rs.avg_iterations_z == rr.avg_iterations_z
 
 
+def test_psweep_checkpoint_resume(tmp_path):
+    """A sweep interrupted mid-block resumes from the last completed group
+    and produces identical counters (same group layout + deterministic per-p
+    tile streams)."""
+    code = get_code("steane")
+    base = dict(shots=768, dec_iterations=10, rng_seed=9, batch_size=256,
+                mesh_p=2, dispatch_chunks=1)
+    full = simulate_sweep(code.Hx, code.Hz, [0.02, 0.04],
+                          SimConfig(checkpoint_dir=str(tmp_path / "a"), **base))
+    # simulate preemption: run one group only, then resume in a fresh call
+    ckdir = tmp_path / "b"
+    import qldpcsim_tpu.utils.checkpoint as ck
+
+    orig_save = ck.CheckpointStore.save
+    calls = {"n": 0}
+
+    class Stop(Exception):
+        pass
+
+    def save_once(self, run_id, counters, chunks_done):
+        orig_save(self, run_id, counters, chunks_done)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise Stop
+
+    ck.CheckpointStore.save = save_once
+    try:
+        with pytest.raises(Stop):
+            simulate_sweep(code.Hx, code.Hz, [0.02, 0.04],
+                           SimConfig(checkpoint_dir=str(ckdir), **base))
+    finally:
+        ck.CheckpointStore.save = orig_save
+    resumed = simulate_sweep(code.Hx, code.Hz, [0.02, 0.04],
+                             SimConfig(checkpoint_dir=str(ckdir), **base))
+    for rf, rr in zip(full, resumed):
+        assert rf.counters == rr.counters
+
+
 def test_psweep_cli(tmp_path, capsys):
     """--mesh-p end-to-end through the CLI (the production surface)."""
     import json
