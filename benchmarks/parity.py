@@ -73,9 +73,21 @@ def _decode_side_batch(H, syn, p, dec_type, iters, layers, osd_order,
     if dec_type == "MS":
         out = ms_decode_native(H, syn, p / 3, iters, layers)
         if out is not None:
-            e, _it, conv = out
-            assert osd_order < 0, "MS+OSD oracle rows not wired natively"
-            return e
+            e, _it, conv, post = out
+            if osd_order >= 0:
+                fails = np.nonzero(~conv)[0]
+                if fails.size:
+                    eo = osd_decode_native(H, e[fails], syn[fails],
+                                           post[fails].astype(np.float64),
+                                           osd_order)
+                    if eo is not None:
+                        e = e.copy()
+                        e[fails] = eo
+                        return e
+                else:
+                    return e
+            else:
+                return e
     if dec_type == "BP":
         out = bp_decode_native(H, syn, p / 3, iters, layers)
         if out is not None:
@@ -206,6 +218,8 @@ def main(argv=None):
     rows.append(run_one("4_tanner_ms_serial", "tanner", 0.04, 65536, s(10000), "MS", 30, "S"))
     rows.append(run_one("5_lp04_bp_osd2", "lp04_0", 0.04, 100000, s(20000), "BP", 30, "F", osd_order=2))
     rows.append(run_one("5_lp118_bp_osd2", "lp118_0", 0.05, 100000, s(10000), "BP", 30, "F", osd_order=2))
+    # the reference's own OSD wiring is MS-only (landmine L5) — cover it too
+    rows.append(run_one("5b_lp118_ms_osd2", "lp118_0", 0.05, 100000, s(10000), "MS", 30, "F", osd_order=2))
 
     out = "\n".join(json.dumps(r) for r in rows)
     print(out)

@@ -84,7 +84,8 @@ int ms_decode_cpu(const int8_t* H, int m, int n,
                   const int8_t* syndromes, int B,
                   float p, int max_iter, float beta,
                   const int32_t* starts, const int32_t* ends, int n_layers,
-                  int8_t* e_out, int32_t* iters_out, int8_t* conv_out) {
+                  int8_t* e_out, int32_t* iters_out, int8_t* conv_out,
+                  float* post_out) {
     // CSR-style row adjacency.
     std::vector<int> row_ptr(m + 1, 0);
     for (int i = 0; i < m; ++i) {
@@ -162,6 +163,9 @@ int ms_decode_cpu(const int8_t* H, int m, int n,
         std::memcpy(&e_out[(size_t)b * n], e_hat.data(), n);
         iters_out[b] = used;
         conv_out[b] = conv ? 1 : 0;
+        if (post_out)
+            std::memcpy(&post_out[(size_t)b * n], posterior.data(),
+                        n * sizeof(float));
     }
     return 0;
 }
@@ -451,7 +455,7 @@ int ms_decode_cpu_mt(const int8_t* H, int m, int n,
                      float p, int max_iter, float beta,
                      const int32_t* starts, const int32_t* ends, int n_layers,
                      int8_t* e_out, int32_t* iters_out, int8_t* conv_out,
-                     int threads) {
+                     float* post_out, int threads) {
     int T = threads > 0 ? threads
                         : (int)std::thread::hardware_concurrency();
     if (T < 1) T = 1;
@@ -459,7 +463,7 @@ int ms_decode_cpu_mt(const int8_t* H, int m, int n,
     if (T == 1)
         return ms_decode_cpu(H, m, n, syndromes, B, p, max_iter, beta,
                              starts, ends, n_layers, e_out, iters_out,
-                             conv_out);
+                             conv_out, post_out);
     std::vector<std::thread> pool;
     pool.reserve(T);
     const int per = (B + T - 1) / T;
@@ -471,7 +475,8 @@ int ms_decode_cpu_mt(const int8_t* H, int m, int n,
             ms_decode_cpu(H, m, n, &syndromes[(size_t)b0 * m], b1 - b0,
                           p, max_iter, beta, starts, ends, n_layers,
                           &e_out[(size_t)b0 * n], &iters_out[b0],
-                          &conv_out[b0]);
+                          &conv_out[b0],
+                          post_out ? &post_out[(size_t)b0 * n] : nullptr);
         });
     }
     for (auto& th : pool) th.join();

@@ -58,12 +58,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                   u64p, ctypes.c_int, ctypes.c_int, i32p]
     lib.gf2_rank.restype = ctypes.c_int
     lib.gf2_rank.argtypes = [u64p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    f32p = ctypes.POINTER(ctypes.c_float)
     lib.ms_decode_cpu.restype = ctypes.c_int
     lib.ms_decode_cpu.argtypes = [i8p, ctypes.c_int, ctypes.c_int,
                                   i8p, ctypes.c_int,
                                   ctypes.c_float, ctypes.c_int, ctypes.c_float,
                                   i32p, i32p, ctypes.c_int,
-                                  i8p, i32p, i8p]
+                                  i8p, i32p, i8p, f32p]
     if hasattr(lib, "ms_decode_cpu_mt"):
         lib.ms_decode_cpu_mt.restype = ctypes.c_int
         lib.ms_decode_cpu_mt.argtypes = lib.ms_decode_cpu.argtypes + [ctypes.c_int]
@@ -128,7 +129,8 @@ def ms_decode_native(H: np.ndarray, syndromes: np.ndarray, p: float,
                      threads: int = 0):
     """Batched reference-semantics CPU MS decode (threads=0: all cores;
     1: sequential; results are bit-identical either way). Returns
-    (e_hat (B,n) int8, n_iter (B,) int32, converged (B,) bool) or None."""
+    (e_hat (B,n) int8, n_iter (B,) int32, converged (B,) bool,
+    posterior (B,n) float32) or None."""
     lib = get_lib()
     if lib is None:
         return None
@@ -141,15 +143,17 @@ def ms_decode_native(H: np.ndarray, syndromes: np.ndarray, p: float,
     e_out = np.zeros((B, n), np.int8)
     iters = np.zeros(B, np.int32)
     conv = np.zeros(B, np.int8)
+    post = np.zeros((B, n), np.float32)
+    postp = post.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     args = (_i8p(H), m, n, _i8p(syn), B,
             ctypes.c_float(p), max_iter, ctypes.c_float(beta),
             _i32p(starts), _i32p(ends), len(layers),
-            _i8p(e_out), _i32p(iters), _i8p(conv))
+            _i8p(e_out), _i32p(iters), _i8p(conv), postp)
     if hasattr(lib, "ms_decode_cpu_mt"):
         lib.ms_decode_cpu_mt(*args, threads)
     else:
         lib.ms_decode_cpu(*args)
-    return e_out, iters, conv.astype(bool)
+    return e_out, iters, conv.astype(bool), post
 
 
 def bp_decode_native(H: np.ndarray, syndromes: np.ndarray, p: float,

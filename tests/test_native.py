@@ -57,9 +57,10 @@ def test_native_ms_matches_oracle(rng):
     layers = layerize(H)
     out = native.ms_decode_native(H, syn, 0.02, 12, layers)
     assert out is not None
-    e_hat, iters, conv = out
+    e_hat, iters, conv, post = out
     for s in range(syn.shape[0]):
-        e_ref, it_ref, _p, conv_ref = oracle.ms_decode(H, syn[s], 0.02, 12, layers)
+        e_ref, it_ref, post_ref, conv_ref = oracle.ms_decode(H, syn[s], 0.02, 12, layers)
         assert conv[s] == conv_ref, s
         assert iters[s] == it_ref, s
         assert (e_hat[s] == e_ref).all(), s
+        assert np.allclose(post[s], post_ref, rtol=1e-5, atol=1e-5), s
