@@ -30,8 +30,6 @@ over shots and static-shaped (r = rank(H) is data-independent).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -53,7 +53,6 @@ def make_eliminate_pallas(n: int, r: int, mW: int, rW: int,
     """Build eliminate(colsP (B, n, mW) u32) ->
     (tags (B, r, rW) u32, pivots (B, r) i32, sel (B, n) bool)."""
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     W = min(window, n)
     n_pad = -(-n // W) * W
