@@ -70,40 +70,21 @@ def _decode_side_batch(H, syn, p, dec_type, iters, layers, osd_order,
                                          osd_decode_native)
 
     B = syn.shape[0]
-    if dec_type == "MS":
-        out = ms_decode_native(H, syn, p / 3, iters, layers)
+    if dec_type in ("MS", "BP"):
+        native = ms_decode_native if dec_type == "MS" else bp_decode_native
+        out = native(H, syn, p / 3, iters, layers)
         if out is not None:
             e, _it, conv, post = out
-            if osd_order >= 0:
-                fails = np.nonzero(~conv)[0]
-                if fails.size:
-                    eo = osd_decode_native(H, e[fails], syn[fails],
-                                           post[fails].astype(np.float64),
-                                           osd_order)
-                    if eo is not None:
-                        e = e.copy()
-                        e[fails] = eo
-                        return e
-                else:
-                    return e
-            else:
+            if osd_order < 0:
                 return e
-    if dec_type == "BP":
-        out = bp_decode_native(H, syn, p / 3, iters, layers)
-        if out is not None:
-            e, _it, conv, post = out
-            if osd_order >= 0:
-                fails = np.nonzero(~conv)[0]
-                if fails.size:
-                    eo = osd_decode_native(H, e[fails], syn[fails],
-                                           post[fails], osd_order)
-                    if eo is not None:
-                        e = e.copy()
-                        e[fails] = eo
-                        return e
-                else:
-                    return e
-            else:
+            fails = np.nonzero(~conv)[0]
+            if fails.size == 0:
+                return e
+            eo = osd_decode_native(H, e[fails], syn[fails],
+                                   post[fails].astype(np.float64), osd_order)
+            if eo is not None:
+                e = e.copy()
+                e[fails] = eo
                 return e
     # per-shot NumPy fallback / BF / NG
     es = np.zeros((B, H.shape[1]), np.int8)

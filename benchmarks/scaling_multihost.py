@@ -85,9 +85,11 @@ def run_procs(n: int, code: str, shots: int, batch: int) -> dict:
              sys.executable, "-c", _CHILD % {"root": _ROOT}], env=env,
             stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True))
     for p in procs:
-        rc = p.wait(timeout=600)
-        if rc:
-            raise RuntimeError(p.communicate()[1][-2000:])
+        # communicate() drains the stderr pipe while waiting — wait() with a
+        # piped stderr can deadlock if a child fills the pipe buffer.
+        _, err = p.communicate(timeout=600)
+        if p.returncode:
+            raise RuntimeError(err[-2000:])
     with open(out) as f:
         return json.load(f)
 

@@ -164,13 +164,15 @@ def _auto_batch(n: int, shots: int, n_dev: int) -> int:
     return max(quantum, (b // quantum) * quantum)
 
 
-def _compact_indices(mask, cap: int, fill: int):
+def _compact_indices(mask, cap: int, fill: int, pos=None):
     """Indices of True lanes in ascending order, compacted to the front of a
     fixed (cap,)-slot buffer; slots beyond the count hold `fill`. Same
     result as `argsort(~mask, stable=True)[:cap]` on the True prefix, at a
-    fraction of a sort's cost (one cumsum + one scatter)."""
+    fraction of a sort's cost (one cumsum + one scatter). `pos` may pass a
+    precomputed `cumsum(mask) - 1` rank to avoid recomputing it."""
     B = mask.shape[0]
-    pos = jnp.cumsum(mask) - 1                  # rank among True lanes
+    if pos is None:
+        pos = jnp.cumsum(mask) - 1              # rank among True lanes
     tgt = jnp.where(mask, pos, cap)             # cap = out of bounds: dropped
     return jnp.full(cap, fill, jnp.int32).at[tgt].set(
         jnp.arange(B, dtype=jnp.int32), mode="drop")
@@ -405,7 +407,7 @@ class ShotPipeline:
         # overflow to the in-chunk OSD below.
         pos = jnp.cumsum(failed_u) - 1
         deferred = failed_u & (pos < F)
-        didx = _compact_indices(failed_u, F, fill=0)
+        didx = _compact_indices(failed_u, F, fill=0, pos=pos)
         n_defer = jnp.minimum(jnp.sum(failed_u), F)
         dvalid = jnp.arange(F) < n_defer
 
@@ -509,7 +511,11 @@ def simulate_p(Hx: np.ndarray, Hz: np.ndarray, p: float,
         key = jax.random.fold_in(jax.random.PRNGKey(seed), p_index)
 
     store = CheckpointStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
-    ckpt_id = f"p{p_index}_{cfg.dec_type}_{cfg.dec_schedule}_{shots}"
+    # The id pins everything that determines the counters — p value, seed,
+    # decoder config — so a resume with ANY changed parameter misses the
+    # checkpoint instead of silently returning stale counts.
+    ckpt_id = (f"p{p_index}_{p:.6e}_{cfg.dec_type}_{cfg.dec_schedule}_"
+               f"i{cfg.dec_iterations}_o{cfg.osd_order}_{shots}_s{seed}")
     totals = {k: 0 for k in _COUNTER_KEYS}
     start_chunk = 0
     if store is not None:
@@ -650,8 +656,10 @@ def simulate_sweep(Hx: np.ndarray, Hz: np.ndarray, ps: Sequence[float],
                   for i in range(blk.size)]
         keys_p += [keys_p[-1]] * pad  # dummy rows (nv=0 -> no contribution)
         totals = {k: np.zeros(n_p, np.int64) for k in _COUNTER_KEYS}
-        ckpt_id = (f"sweepblk{blk0}_{cfg.dec_type}_{cfg.dec_schedule}_"
-                   f"{shots}_{n_p}")
+        blk_tag = "-".join(f"{v:.6e}" for v in blk)
+        ckpt_id = (f"sweepblk{blk0}_{blk_tag}_{cfg.dec_type}_"
+                   f"{cfg.dec_schedule}_i{cfg.dec_iterations}_"
+                   f"o{cfg.osd_order}_{shots}_{n_p}_s{seed}")
         start_chunk = 0
         if store is not None:
             saved = store.load(ckpt_id)

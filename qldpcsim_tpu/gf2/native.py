@@ -44,7 +44,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _TRIED = True
     if os.environ.get("QLDPC_NATIVE", "1") == "0":
         return None
-    if not os.path.exists(_SO) and not _build():
+    # Rebuild when the source is newer than the library: the C ABI has
+    # grown output parameters over time, and calling a stale .so through
+    # the new signatures would silently misbehave (extra args ignored).
+    stale = (os.path.exists(_SO) and os.path.exists(_SRC)
+             and os.path.getmtime(_SRC) > os.path.getmtime(_SO))
+    if (not os.path.exists(_SO) or stale) and not _build():
+        if stale:
+            return None  # never call a known-stale library
         return None
     try:
         lib = ctypes.CDLL(_SO)

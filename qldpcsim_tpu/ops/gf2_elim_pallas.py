@@ -197,11 +197,17 @@ def make_eliminate_pallas(n: int, r: int, mW: int, rW: int,
             sel = jax.lax.dynamic_update_slice(sel, selw, (lo, 0))
             return lo + W, bt, piv, cnt, sel
 
+        # Lane-pad slots start at cnt=r (not 0): they never gain pivots, and
+        # a 0 would hold `any(cnt < r)` true forever, silently defeating the
+        # early exit whenever B % B_blk != 0.
+        cnt0 = jnp.full((1, Bp), float(r), jnp.float32)
+        cnt0 = jax.lax.dynamic_update_slice(
+            cnt0, jnp.zeros((1, B), jnp.float32), (0, 0))
         init = (
             jnp.int32(0),
             jnp.zeros((r_pad, bw, Bp), u32),
             jnp.full((r_pad, Bp), -1, jnp.int32),
-            jnp.zeros((1, Bp), jnp.float32),
+            cnt0,
             jnp.zeros((n_pad, Bp), jnp.int32),
         )
         _, bt, piv, cnt, sel = jax.lax.while_loop(cond, body, init)

@@ -256,7 +256,7 @@ def test_checkpoint_resume(tmp_path):
     store = CheckpointStore(str(tmp_path / "b"))
     partial = simulate_p(code.Hx, code.Hz, 0.03,
                          SimConfig(checkpoint_dir=str(tmp_path / "b"), **base))
-    saved = store.load("p0_MS_F_256")
+    saved = store.load(f"p0_{0.03:.6e}_MS_F_i10_o-1_256_s21")
     assert saved is not None and saved[1] == 4  # 256/64 chunks
     resumed = simulate_p(code.Hx, code.Hz, 0.03,
                          SimConfig(checkpoint_dir=str(tmp_path / "b"), **base))

@@ -84,12 +84,14 @@ def test_two_process_counters_match_single_process(tmp_path):
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.PIPE, text=True))
     try:
-        rcs = [p.wait(timeout=240) for p in procs]
+        # communicate() drains the pipes while waiting (wait() with piped
+        # stderr can deadlock on a chatty child)
+        outs = [p.communicate(timeout=240) for p in procs]
     finally:
         for p in procs:
             p.kill()
-    errs = [p.communicate()[1][-3000:] for p in procs]
-    assert rcs == [0, 0], errs
+    rcs = [p.returncode for p in procs]
+    assert rcs == [0, 0], [o[1][-3000:] for o in outs]
 
     # Both processes must see the GLOBAL (psum-reduced) counters.
     c0 = json.load(open(out_prefix + "0"))
