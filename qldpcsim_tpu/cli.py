@@ -51,6 +51,17 @@ def build_parser() -> argparse.ArgumentParser:
                           "(per-p counters bit-exact vs the serial sweep).")
     tpu.add_argument("--layerCompat", action="store_true",
                      help="Reproduce the reference's cross-wired layer derivation.")
+    tpu.add_argument("--impl", choices=("auto", "edge", "mxu", "seq", "qc"),
+                     default="auto",
+                     help="Decoder implementation override: edge (bit-exact "
+                          "reference-parity path), mxu (incidence-matmul), "
+                          "seq (row-sequential), qc (Pallas circulant "
+                          "kernel); auto picks per platform/structure.")
+    tpu.add_argument("--device", choices=("auto", "default", "cpu"),
+                     default="auto",
+                     help="Execution backend: auto routes sub-128-dim codes "
+                          "to CPU (TPU compiler hazard), default forces the "
+                          "session backend, cpu forces the CPU backend.")
     tpu.add_argument("--validateEncoding", action="store_true",
                      help="Run the full encode->corrupt->extract pipeline "
                           "(GF(2) codeword frames; counters provably equal "
@@ -121,6 +132,7 @@ def main(argv: Optional[list] = None) -> int:
         dec_schedule=args.decSchedule, osd_order=args.OSDorder,
         rng_seed=args.rngSeed, batch_size=args.batch, layer_compat=args.layerCompat,
         bf_residual=args.bfResidual, validate_encoding=args.validateEncoding,
+        impl=args.impl, device=args.device,
         mesh=mesh, mesh_p=args.mesh_p,
         checkpoint_dir=args.checkpointDir, progress=not args.quiet,
     )
