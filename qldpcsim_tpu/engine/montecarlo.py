@@ -13,10 +13,10 @@ design (all documented in DIVERGENCES.md):
     matrix by default (landmine L1; `layer_compat=True` reproduces the
     reference's cross-wiring);
   * OSD runs only on decoder-failed shots, compacted ON DEVICE to the front
-    of the batch (stable argsort, as in decoders/cascade.py) and processed in
-    fixed-size windows inside a lax.while_loop — the whole OSD path lives in
-    the same fused chunk body as the fast path, so OSD chunks join the
-    multi-chunk lax.scan dispatch groups (SURVEY.md §7 "divergent OSD path");
+    of the batch (cumsum-scatter, lane-ascending) and deferred across the
+    whole multi-chunk dispatch group; one windowed while_loop OSD pass per
+    group finishes them inside the same jit, with an in-chunk overflow
+    fallback (SURVEY.md §7 "divergent OSD path");
   * deterministic key hierarchy seed -> p-index -> global chunk (landmine
     L10), making counters bit-exact across sharding layouts.
 """
