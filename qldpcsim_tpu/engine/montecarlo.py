@@ -614,6 +614,15 @@ def simulate_sweep(Hx: np.ndarray, Hz: np.ndarray, ps: Sequence[float],
                else np.asarray(jax.devices()))
     if devices.size % n_p:
         raise ValueError(f"mesh_p={n_p} must divide device count {devices.size}")
+    if n_p == 1 and devices.size == 1:
+        # A (1, 1) mesh adds nothing over the serial loop (same chunking,
+        # same keys, bit-identical counters) but forces a shard_map
+        # partitioned compile — observed to hang this environment's remote
+        # TPU compiler. Degrade to the serial path.
+        scfg = dataclasses.replace(cfg, mesh=None, mesh_p=0)
+        pipe = ShotPipeline(Hx, Hz, scfg)
+        return [simulate_p(Hx, Hz, pT, scfg, pipeline=pipe, p_index=i)
+                for i, pT in enumerate(np.asarray(ps, dtype=np.float64))]
     ndev_s = devices.size // n_p
     grid = devices.reshape(n_p, ndev_s)
     mesh2 = Mesh(grid, ("p", "shots"))
