@@ -326,3 +326,45 @@ def test_layer_compat_cross_wiring():
                     layer_compat=True)
     r = simulate_p(code.Hx, code.Hz, 0.02, cfg)
     assert 0.0 <= r.qbler <= 1.0
+
+
+def test_compact_indices_matches_stable_argsort():
+    """The cumsum-scatter compaction equals a stable argsort prefix for any
+    mask, including empty, full, and overflow-past-cap cases."""
+    import jax.numpy as jnp
+
+    from qldpcsim_tpu.engine.montecarlo import _compact_indices
+
+    rng = np.random.default_rng(5)
+    for B, cap in ((64, 16), (64, 64), (128, 32)):
+        for frac in (0.0, 0.1, 0.9, 1.0):
+            mask = rng.random(B) < frac
+            got = np.asarray(_compact_indices(jnp.asarray(mask), cap, fill=B))
+            want = np.argsort(~mask, kind="stable")[:cap]
+            k = min(int(mask.sum()), cap)
+            assert (got[:k] == want[:k]).all(), (B, cap, frac)
+            assert (got[k:] == B).all(), (B, cap, frac)
+
+
+def test_checkpoint_id_pins_parameters(tmp_path):
+    """Resuming with a changed seed or p must MISS the old checkpoint (the
+    id pins p value, seed, iterations, OSD order) — a silent stale-counter
+    resume was the failure mode being prevented."""
+    code = get_code("steane")
+    base = dict(shots=256, dec_iterations=10, batch_size=64,
+                checkpoint_dir=str(tmp_path))
+    r1 = simulate_p(code.Hx, code.Hz, 0.03, SimConfig(rng_seed=21, **base))
+    # different seed, same dir: counters must be a fresh (different-stream)
+    # computation, not the stale checkpoint's totals
+    r2 = simulate_p(code.Hx, code.Hz, 0.03, SimConfig(rng_seed=22, **base))
+    fresh = simulate_p(code.Hx, code.Hz, 0.03,
+                       SimConfig(rng_seed=22, shots=256, dec_iterations=10,
+                                 batch_size=64))
+    assert r2.counters == fresh.counters
+    # different p, same dir: likewise
+    r3 = simulate_p(code.Hx, code.Hz, 0.05, SimConfig(rng_seed=21, **base))
+    fresh3 = simulate_p(code.Hx, code.Hz, 0.05,
+                        SimConfig(rng_seed=21, shots=256, dec_iterations=10,
+                                  batch_size=64))
+    assert r3.counters == fresh3.counters
+    assert r3.counters != r1.counters
