@@ -12,6 +12,10 @@ TPU/CPU path with batch size 1 for the per-shot decoder calls. Notes:
   * NG/BF/MS/BP return (e_hat, n_iter) like the reference
     (decoders.py:66,102,182,290); `layers` accepts the reference's list of
     row-index arrays (simulator.py:212-236 layerize output).
+  * BF_decoder uses the reference's any-overlap "bool" residual
+    (decoders.py:93-95) so it is shot-for-shot drop-in — unlike the engine,
+    whose default is the standard mod-2 parity residual
+    (DecoderConfig.bf_residual, DIVERGENCES.md "BF residual").
   * OSDdec never mutates its arguments and enumerates all 2^order patterns
     (the reference's aliasing landmine L4 is deliberately not reproduced —
     DIVERGENCES.md).
@@ -107,13 +111,14 @@ def _decoders_module():
         return LayerSchedule.from_layers([np.asarray(l) for l in layers], m)
 
     def _run(dec_type, H, syndrome, p=0.01, max_iter=99, layers=None,
-             beta=0.75, OSDorder=-1, eps=1e-9, bf_max_iter=50):
+             beta=0.75, OSDorder=-1, eps=1e-9, bf_max_iter=50,
+             bf_residual="bool"):
         H = np.asarray(H) % 2
         graph = TannerGraph.build(H)
         cfg = DecoderConfig(dec_type=dec_type, max_iter=max_iter,
                             schedule="F", beta=beta,
                             eps=max(eps, 1e-6), bf_max_iter=bf_max_iter,
-                            osd_order=-1)
+                            bf_residual=bf_residual, osd_order=-1)
         dec = make_decoder(graph, cfg, layers=_layers_sched(H, layers))
         syn = np.asarray(syndrome).reshape(1, -1)
         r = dec(syn, p)
@@ -130,8 +135,12 @@ def _decoders_module():
         return _run("NG", H, syndrome)
 
     def BF_decoder(H, syndrome, max_iter=50):
-        # reference decoders.py:74-102
-        return _run("BF", H, syndrome, bf_max_iter=max_iter)
+        # reference decoders.py:74-102. Drop-in means reference-exact: the
+        # shim defaults to the reference's any-overlap "bool" residual
+        # (decoders.py:93-95), unlike the engine's mod2 default — the two
+        # are measurably different decoders (DIVERGENCES.md "BF residual").
+        return _run("BF", H, syndrome, bf_max_iter=max_iter,
+                    bf_residual="bool")
 
     def MS_decoder(H, syndrome, p, max_iter=99, layers=None, beta=0.75,
                    OSDorder=-1, eps=1e-9):

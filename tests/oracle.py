@@ -54,6 +54,69 @@ def ms_decode(H, syndrome, p, max_iter, layers, beta=0.75):
     return e, max_iter, post, False
 
 
+def ms_decode_mixed(H, syndrome, p, max_iter, layers, beta=0.75):
+    """Normalized min-sum with the reference's EXACT dtype mix
+    (decoders.py:147-177): L_ch is a float64 Python scalar, msg_c2v is a
+    dense float32 matrix, msg_v2c becomes float64 after the first VN update
+    (posterior f64 - c2v f32), and VNsum is np.sum(axis=0) over the dense
+    f32 matrix (NumPy pairwise order).
+
+    Why this exists: on maximally regular codes (bicycle: every row weight
+    18, every column weight 9) the CN update's exact-value tie condition
+    (|msg| == min, decoders.py:167-168) is dtype-sensitive — f64 messages
+    break ties the pure-f32 framework path resolves differently, which
+    diverges ~46% of shots at p=0.05 while remaining bit-exact on every
+    other library code. This replica pins the reference's behavior
+    bit-for-bit (tests/test_reference_parity.py) so that divergence is
+    provably precision-induced, not semantic."""
+    H = np.asarray(H)
+    m, n = H.shape
+    sup = H == 1
+    L = np.log((1 - p) / max(p, 1e-9))  # float64 scalar
+    v2c = np.where(sup, L, 0.0).astype(np.float32)
+    c2v = np.zeros((m, n), np.float32)
+    syn_sign = np.where(np.asarray(syndrome)[:, None] == 1, -1.0, 1.0)
+    e = np.zeros(n, np.int8)
+    for it in range(max_iter):
+        for layer in layers:
+            rows = np.asarray(layer)
+            if rows.size == 0:
+                continue
+            Hl = H[rows, :]
+            absv = np.abs(v2c[rows, :])
+            s = np.sign(v2c[rows, :])
+            s[s == 0] = 1.0
+            prod = np.prod(np.where(Hl == 1, s, 1.0), axis=1, keepdims=True)
+            masked = np.where(Hl == 1, absv, np.inf)
+            min1 = np.min(masked, axis=1, keepdims=True)
+            am = np.argmin(masked, axis=1)
+            abs2 = absv.copy()
+            abs2[range(abs2.shape[0]), am] = np.inf
+            min2 = np.min(np.where(Hl == 1, abs2, np.inf), axis=1,
+                          keepdims=True)
+            min1 = np.where(np.isinf(min1), 0.0, min1)
+            min2 = np.where(np.isinf(min2), 0.0, min2)
+            coef = beta * syn_sign[rows] * prod
+            cur = np.abs(v2c[rows, :])
+            # Reference denominator sign_msg + (1-H): = sign on support; = 2
+            # off-support, where the second branch can leak coef*min2/2 into
+            # c2v whenever a row's min |msg| is exactly 0 (only infs are
+            # zeroed, decoders.py:167-169) — replicated faithfully.
+            den = s + (1 - Hl)
+            out = np.where(np.logical_and(Hl == 1, cur != min1),
+                           coef * min1 / den, np.inf)
+            out = np.where(np.logical_and(np.isinf(out), cur == min1),
+                           coef * min2 / den, out)
+            c2v[rows, :] = out  # f32 store
+            c2v[np.isinf(c2v)] = 0.0
+            post = L + np.sum(c2v, axis=0)  # f64 = f64 + f32 pairwise sum
+            e = (post < 0).astype(np.int8)
+            if np.array_equal((H.astype(np.int64) @ e) % 2, syndrome):
+                return e, it + 1
+            v2c = np.where(sup, post[None, :] - c2v, 0.0)  # f64 onward
+    return e, max_iter
+
+
 def bp_decode(H, syndrome, p, max_iter, layers, eps=1e-6):
     """Sum-product BP, reference semantics (decoders.py:189-290) in float32
     with the f32-suitable tanh clamp used by the framework."""

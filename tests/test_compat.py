@@ -61,3 +61,48 @@ def test_simulator_surface(tmp_path):
         assert False, "should raise"
     except NotImplementedError as e:
         assert "native GF(2) channel" in str(e)
+
+
+def test_compat_decoders_dropin_vs_literal_reference():
+    """All four compat decoders, shot-for-shot against the path-imported
+    literal reference (tests/refimport.py): identical e_hat and n_iter.
+    Pins the docstring's drop-in claim — in particular BF_decoder's "bool"
+    residual default (decoders.py:93-95)."""
+    import pytest
+    from refimport import load_reference, reference_available
+
+    if not reference_available():
+        pytest.skip("reference tree not present")
+    ref = load_reference()[1]
+    Hx, Hz = PCMlibrary.qc_ldpc_lifted_code("LP04", 0)
+    H = np.asarray(Hz) % 2
+    rng = np.random.default_rng(1717)
+    shots = 20
+    err = rng.random((shots, H.shape[1])) < 0.04
+    syns = (err.astype(np.int64) @ H.T.astype(np.int64)) % 2
+    for s in range(shots):
+        syn = syns[s]
+        e, it = decoders.BF_decoder(H, syn)
+        e_r, it_r = ref.BF_decoder(H, syn)
+        assert np.array_equal(np.asarray(e) % 2,
+                              np.asarray(e_r).astype(np.int64) % 2), s
+        assert it == it_r, s
+        e, it = decoders.NG_decoder(H, syn)
+        e_r, it_r = ref.NG_decoder(H, syn)
+        assert np.array_equal(np.asarray(e) % 2, np.asarray(e_r) % 2), s
+        assert it == it_r, s
+        e, it = decoders.MS_decoder(H, syn, 0.02, max_iter=20)
+        e_r, it_r = ref.MS_decoder(H, syn, 0.02, max_iter=20,
+                                   layers=[np.arange(H.shape[0])])
+        assert np.array_equal(np.asarray(e) % 2, np.asarray(e_r) % 2), s
+        assert it == it_r, s
+        e, it = decoders.BP_decoder(H, syn, 0.02, max_iter=20)
+        e_r, it_r = ref.BP_decoder(H, syn, 0.02, max_iter=20,
+                                   layers=[np.arange(H.shape[0])])
+        # f32 vs f64 BP can diverge on rare shots; require syndrome
+        # consistency agreement instead of bit equality there
+        if not (np.array_equal(np.asarray(e) % 2, np.asarray(e_r) % 2)
+                and it == it_r):
+            ok_my = np.array_equal((H @ (np.asarray(e) % 2)) % 2, syn)
+            ok_ref = np.array_equal((H @ (np.asarray(e_r) % 2)) % 2, syn)
+            assert ok_my == ok_ref, s
