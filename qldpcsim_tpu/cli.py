@@ -49,6 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
                      help="Shard the p-sweep over a ('p','shots') 2-D mesh "
                           "with N p-rows: one dispatch decodes N p-values "
                           "(per-p counters bit-exact vs the serial sweep).")
+    tpu.add_argument("--execMode", choices=("auto", "shardmap", "perdevice"),
+                     default="auto",
+                     help="Sharded execution strategy (with --mesh/--mesh-p): "
+                          "shardmap (one partitioned program + psum) or "
+                          "perdevice (one single-device dispatch per chip + "
+                          "host-side reduction; bit-exact counters, and the "
+                          "fallback when the backend's partitioner is "
+                          "broken). auto: shardmap on CPU meshes, perdevice "
+                          "on TPU meshes.")
     tpu.add_argument("--layerCompat", action="store_true",
                      help="Reproduce the reference's cross-wired layer derivation.")
     tpu.add_argument("--impl", choices=("auto", "edge", "mxu", "seq", "qc"),
@@ -133,7 +142,7 @@ def main(argv: Optional[list] = None) -> int:
         rng_seed=args.rngSeed, batch_size=args.batch, layer_compat=args.layerCompat,
         bf_residual=args.bfResidual, validate_encoding=args.validateEncoding,
         impl=args.impl, device=args.device,
-        mesh=mesh, mesh_p=args.mesh_p,
+        mesh=mesh, mesh_p=args.mesh_p, exec_mode=args.execMode,
         checkpoint_dir=args.checkpointDir, progress=not args.quiet,
     )
     from qldpcsim_tpu.utils.profiling import trace_context

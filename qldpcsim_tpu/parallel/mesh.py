@@ -121,6 +121,67 @@ def shard_chunk_fn(mesh: Mesh, chunk_fn: Callable, axis: str = "shots"):
     return jax.jit(sharded)
 
 
+def per_device_multi_chunk_fn(mesh: Mesh, multi_fn: Callable):
+    """Per-device-dispatch fallback for shot-sharded execution.
+
+    Same call signature as shard_multi_chunk_fn's wrapper — keys
+    (ndev, G, tiles, 2), p scalar, n_valids (ndev, G) — but instead of one
+    shard_map program it dispatches the SINGLE-DEVICE multi-chunk jit once
+    per mesh device (dispatches are async, so devices run concurrently) and
+    reduces the integer counters on the host. The global RNG tile contract
+    (keys derive from global tile indices, not device ids) makes the totals
+    bit-exact vs the shard_map path by construction.
+
+    Why this exists: shard_map graphs have never compiled on this
+    environment's remote TPU backend (the axon compiler hangs and wedges
+    the service — DIVERGENCES.md "Execution environment"), while plain
+    single-device jits compile and run fine there. This mode keeps
+    multi-chip execution available on backends where the partitioner is
+    broken. Single-process only (remote devices are not addressable for
+    host-side reduction); multi-process meshes need exec_mode='shardmap'.
+    """
+    devices = list(np.asarray(mesh.devices).reshape(-1))
+    if jax.process_count() > 1:
+        raise ValueError("perdevice execution mode is single-process; "
+                         "multi-process meshes need exec_mode='shardmap'")
+    fn = jax.jit(multi_fn)
+
+    def run(keys, p, n_valids):
+        keys = np.asarray(jax.device_get(keys))
+        n_valids = np.asarray(jax.device_get(n_valids))
+        p32 = jnp.float32(p)
+        outs = [fn(jax.device_put(keys[i], d), jax.device_put(p32, d),
+                   jax.device_put(n_valids[i], d))
+                for i, d in enumerate(devices)]
+        outs = jax.device_get(outs)
+        return {k: sum(int(o[k]) for o in outs) for k in outs[0]}
+
+    return run
+
+
+def with_perdevice_fallback(primary: Callable, build_fallback: Callable):
+    """Run `primary` until it raises, then permanently switch to the
+    fallback built by `build_fallback()` (used to recover from shard_map
+    partitioner/compiler failures at first dispatch)."""
+    import warnings
+
+    state: dict = {}
+
+    def run(*args):
+        if "fb" in state:
+            return state["fb"](*args)
+        try:
+            return primary(*args)
+        except Exception as e:  # noqa: BLE001 — any compile/dispatch failure
+            warnings.warn("shard_map execution failed "
+                          f"({type(e).__name__}: {e}); falling back to "
+                          "per-device dispatch", RuntimeWarning)
+            state["fb"] = build_fallback()
+            return state["fb"](*args)
+
+    return run
+
+
 def shard_multi_chunk_fn(mesh: Mesh, multi_fn: Callable, axis: str = "shots"):
     """Shot-sharded wrapper for the fused multi-chunk body.
 

@@ -76,3 +76,58 @@ def test_mesh_device_count_invariance_bit_exact():
     r2 = simulate_p(code.Hx, code.Hz, 0.02,
                     SimConfig(batch_size=512, mesh=make_mesh(), **base))
     assert r2.counters == r1.counters
+
+
+def test_perdevice_exec_mode_bit_exact():
+    """exec_mode='perdevice' (one single-device dispatch per mesh device,
+    host-side reduction — the fallback for backends whose shard_map
+    partitioner is broken) must equal the shard_map counters AND the
+    single-device counters bit-exactly, including with OSD in the loop."""
+    code = get_code("lp04_0")
+    base = dict(shots=512, dec_type="BP", dec_iterations=8, rng_seed=5,
+                osd_order=1)
+    r_single = simulate_p(code.Hx, code.Hz, 0.05,
+                          SimConfig(batch_size=512, **base))
+    mesh = make_mesh()
+    r_shard = simulate_p(code.Hx, code.Hz, 0.05,
+                         SimConfig(batch_size=512, mesh=mesh,
+                                   exec_mode="shardmap", **base))
+    r_perdev = simulate_p(code.Hx, code.Hz, 0.05,
+                          SimConfig(batch_size=512, mesh=mesh,
+                                    exec_mode="perdevice", **base))
+    assert r_perdev.counters == r_shard.counters == r_single.counters
+    assert r_perdev.avg_iterations_x == r_single.avg_iterations_x
+
+
+def test_perdevice_partial_chunk():
+    """Per-device mode with a ragged final chunk (shots not a multiple of
+    batch) counts exactly like the serial path."""
+    code = get_code("steane")
+    base = dict(shots=1000, dec_type="MS", dec_iterations=10, rng_seed=23)
+    r_single = simulate_p(code.Hx, code.Hz, 0.03,
+                          SimConfig(batch_size=512, **base))
+    r = simulate_p(code.Hx, code.Hz, 0.03,
+                   SimConfig(batch_size=512, mesh=make_mesh(),
+                             exec_mode="perdevice", **base))
+    assert r.counters == r_single.counters
+
+
+def test_perdevice_sweep_bit_exact():
+    """simulate_sweep under exec_mode='perdevice' (per (p-row, device)
+    dispatch on the 2-D grid) reproduces the serial per-p counters."""
+    from qldpcsim_tpu.engine.montecarlo import simulate_sweep
+
+    code = get_code("steane")
+    ps = [0.01, 0.03, 0.05, 0.07]
+    base = dict(shots=512, dec_type="MS", dec_iterations=10, rng_seed=9,
+                batch_size=256)
+    serial = [simulate_p(code.Hx, code.Hz, pT, SimConfig(**base), p_index=i)
+              for i, pT in enumerate(ps)]
+    swept = simulate_sweep(code.Hx, code.Hz, ps,
+                           SimConfig(mesh_p=2, exec_mode="perdevice", **base))
+    swept_sm = simulate_sweep(code.Hx, code.Hz, ps,
+                              SimConfig(mesh_p=2, exec_mode="shardmap",
+                                        **base))
+    for rs, rp, rm in zip(serial, swept, swept_sm):
+        assert rp.counters == rs.counters == rm.counters
+        assert rp.avg_iterations_x == rs.avg_iterations_x
