@@ -1,16 +1,27 @@
 """Statistical qBLER parity harness: this framework vs reference semantics.
 
 The accuracy bar (BASELINE.md) is "qBLER curves match the reference within
-Monte-Carlo confidence bounds". The reference itself is not runnable here (no
-stim), so the comparison target is an independent reference-semantics oracle:
+Monte-Carlo confidence bounds". Two oracle modes (--oracle):
 
-  * MS rows:      the native batched C++ decoder (csrc/gf2core.cpp
-                  ms_decode_cpu, exact decoders.py:110-182 semantics);
-  * BP rows:      the native STRICT-reference-numerics C++ decoder
-                  (bp_decode_cpu: float64, eps=1e-9, clamp-by-subtraction —
-                  decoders.py:235,256-258), with OSD post-decoding of failed
-                  shots by the native C++ OSD (osd_decode_cpu);
-  * BF/NG rows:   the per-shot NumPy oracle (tests/oracle.py).
+  * native (default, fast): an independent reference-semantics oracle —
+      MS rows:      the native batched C++ decoder (csrc/gf2core.cpp
+                    ms_decode_cpu, exact decoders.py:110-182 semantics);
+      BP rows:      the native STRICT-reference-numerics C++ decoder
+                    (bp_decode_cpu: float64, eps=1e-9, clamp-by-subtraction —
+                    decoders.py:235,256-258), with OSD post-decoding of
+                    failed shots by the native C++ OSD (osd_decode_cpu);
+      BF/NG rows:   the per-shot NumPy oracle (tests/oracle.py).
+  * reference: the LITERAL reference decoders, path-imported from
+    /root/reference/qLDPCsim (tests/refimport.py) and called per shot with
+    the reference's own OSD wiring (OSDorder passed into MS/BP,
+    decoders.py:179-180,287-288). This mode is 3-5 orders of magnitude
+    slower than the engine, so oracle shot counts are reduced per config
+    (the z-test bound widens accordingly); per-shot bit-exactness against
+    the same functions is covered by tests/test_reference_parity.py.
+    Note reference OSD-2 equals reference OSD-0 (enumeration aliasing,
+    DIVERGENCES.md L4, pinned by test_reference_osd2_is_osd0), so OSD rows
+    in this mode compare our corrected OSD-2 against the reference's
+    effective OSD-0.
 
 Channel: independently sampled at the reference's marginals (DEPOLARIZE1(p):
 X/Y/Z each w.p. p/3 => errX marginal 2p/3, errX&errZ jointly p/3;
@@ -62,6 +73,31 @@ def _sample_channel(code, p, shots, seed):
     return Hx, Hz, err_x, err_z, sy_z, sy_x
 
 
+def _decode_side_batch_reference(H, syn, p, dec_type, iters, layers,
+                                 osd_order):
+    """Decode all shots of one side with the LITERAL reference decoders."""
+    from refimport import load_reference
+
+    ref = load_reference()[1]
+    B = syn.shape[0]
+    es = np.zeros((B, H.shape[1]), np.int8)
+    for s in range(B):
+        if dec_type == "MS":
+            e, _ = ref.MS_decoder(H, syn[s], p / 3, max_iter=iters,
+                                  layers=layers, OSDorder=osd_order)
+        elif dec_type == "BP":
+            e, _ = ref.BP_decoder(H, syn[s], p / 3, max_iter=iters,
+                                  layers=layers, OSDorder=osd_order)
+        elif dec_type == "BF":
+            e, _ = ref.BF_decoder(H, syn[s])
+        elif dec_type == "NG":
+            e, _ = ref.NG_decoder(H, syn[s])
+        else:
+            raise ValueError(dec_type)
+        es[s] = np.asarray(e).astype(np.int64) % 2
+    return es
+
+
 def _decode_side_batch(H, syn, p, dec_type, iters, layers, osd_order,
                        bf_residual):
     """Decode all shots of one side, preferring the native C++ oracle."""
@@ -109,7 +145,7 @@ def _decode_side_batch(H, syn, p, dec_type, iters, layers, osd_order,
 
 
 def oracle_qbler(code, p, shots, dec_type, iters, schedule, osd_order, seed,
-                 bf_residual="mod2"):
+                 bf_residual="mod2", oracle_mode="native"):
     """Reference-semantics pipeline on the CPU oracle decoders."""
     from qldpcsim_tpu.decoders import layerize
 
@@ -122,10 +158,16 @@ def oracle_qbler(code, p, shots, dec_type, iters, schedule, osd_order, seed,
         layers_x = layerize(Hz, serial=serial)
         layers_z = layerize(Hx, serial=serial)
 
-    ex = _decode_side_batch(Hz, sy_z, p, dec_type, iters, layers_x,
-                            osd_order, bf_residual)
-    ez = _decode_side_batch(Hx, sy_x, p, dec_type, iters, layers_z,
-                            osd_order, bf_residual)
+    if oracle_mode == "reference":
+        ex = _decode_side_batch_reference(Hz, sy_z, p, dec_type, iters,
+                                          layers_x, osd_order)
+        ez = _decode_side_batch_reference(Hx, sy_x, p, dec_type, iters,
+                                          layers_z, osd_order)
+    else:
+        ex = _decode_side_batch(Hz, sy_z, p, dec_type, iters, layers_x,
+                                osd_order, bf_residual)
+        ez = _decode_side_batch(Hx, sy_x, p, dec_type, iters, layers_z,
+                                osd_order, bf_residual)
 
     # reference event classification (simulator.py:291-303), vectorized
     rx = err_x.astype(np.int64) ^ (ex.astype(np.int64) % 2)
@@ -150,15 +192,19 @@ def engine_qbler(code, p, shots, dec_type, iters, schedule, osd_order, seed,
 
 
 def run_one(name, code_name, p, n_new, n_ref, dec_type, iters, schedule,
-            osd_order=-1, seed=0, bf_residual="mod2"):
+            osd_order=-1, seed=0, bf_residual="mod2", oracle_mode="native"):
     from qldpcsim_tpu.codes import get_code
 
+    if oracle_mode == "reference" and dec_type == "BF":
+        # the literal reference BF is the bool-residual decoder
+        # (decoders.py:93-95) — apples-to-apples requires it engine-side
+        bf_residual = "bool"
     code = get_code(code_name)
     q_new, sps = engine_qbler(code, p, n_new, dec_type, iters, schedule,
                               osd_order, seed, bf_residual)
     t0 = time.time()
     q_ref = oracle_qbler(code, p, n_ref, dec_type, iters, schedule,
-                         osd_order, seed, bf_residual)
+                         osd_order, seed, bf_residual, oracle_mode)
     ref_sps = n_ref / max(time.time() - t0, 1e-9)
     pool = (q_new * n_new + q_ref * n_ref) / (n_new + n_ref)
     var = max(pool * (1 - pool), 1.0 / (n_new + n_ref))
@@ -166,6 +212,8 @@ def run_one(name, code_name, p, n_new, n_ref, dec_type, iters, schedule,
     return {
         "config": name, "code": code_name, "decoder": dec_type,
         "schedule": schedule, "osd": osd_order, "p": p,
+        "oracle": ("reference-import" if oracle_mode == "reference"
+                   else "native"),
         "qBLER_new": round(q_new, 5), "shots_new": n_new,
         "qBLER_ref": round(q_ref, 5), "shots_ref": n_ref,
         "bound": round(bound, 5),
@@ -180,27 +228,41 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=1.0,
                     help="scale factor on oracle shot counts")
+    ap.add_argument("--oracle", choices=["native", "reference"],
+                    default="native",
+                    help="oracle side: native C++/NumPy reference-semantics "
+                         "decoders (fast) or the literal path-imported "
+                         "reference (slow; reduced shot counts)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
     def s(x):
         return max(64, int(x * args.scale))
 
+    mode = args.oracle
+
+    def S(native_count, ref_count):
+        """Oracle shots: full-speed native count or reduced literal count."""
+        return s(ref_count if mode == "reference" else native_count)
+
     rows = []
     # BASELINE.json configs 1-5. Oracle counts sized so every 4-sigma bound
-    # lands <= 0.02 at full scale (the worst case is bicycle BF, qBLER~0.4).
-    rows.append(run_one("1_shor_bp_p01", "shor", 0.01, 100000, s(20000), "BP", 99, "F"))
-    rows.append(run_one("1_shor_bp_p05", "shor", 0.05, 100000, s(20000), "BP", 99, "F"))
-    rows.append(run_one("2_steane_nms_layered", "steane", 0.05, 100000, s(20000), "MS", 50, "L"))
-    rows.append(run_one("3_bicycle_bf", "bicycle", 0.02, 100000, s(20000), "BF", 50, "F"))
-    rows.append(run_one("3_bicycle_bf_refres", "bicycle", 0.02, 100000, s(20000), "BF", 50, "F",
-                        bf_residual="bool"))
-    rows.append(run_one("3_bicycle_ng", "bicycle", 0.01, 100000, s(20000), "NG", 0, "F"))
-    rows.append(run_one("4_tanner_ms_serial", "tanner", 0.04, 65536, s(10000), "MS", 30, "S"))
-    rows.append(run_one("5_lp04_bp_osd2", "lp04_0", 0.04, 100000, s(20000), "BP", 30, "F", osd_order=2))
-    rows.append(run_one("5_lp118_bp_osd2", "lp118_0", 0.05, 100000, s(10000), "BP", 30, "F", osd_order=2))
+    # lands <= 0.02 at full scale in native mode (worst case bicycle BF,
+    # qBLER~0.4); reference-import counts sized for ~30 min total wall time
+    # (measured: tanner MS serial 1.6 s/shot, lp118 BP+OSD 0.2 s/shot).
+    kw = {"oracle_mode": mode}
+    rows.append(run_one("1_shor_bp_p01", "shor", 0.01, 100000, S(20000, 20000), "BP", 99, "F", **kw))
+    rows.append(run_one("1_shor_bp_p05", "shor", 0.05, 100000, S(20000, 20000), "BP", 99, "F", **kw))
+    rows.append(run_one("2_steane_nms_layered", "steane", 0.05, 100000, S(20000, 20000), "MS", 50, "L", **kw))
+    rows.append(run_one("3_bicycle_bf", "bicycle", 0.02, 100000, S(20000, 20000), "BF", 50, "F", **kw))
+    rows.append(run_one("3_bicycle_bf_refres", "bicycle", 0.02, 100000, S(20000, 20000), "BF", 50, "F",
+                        bf_residual="bool", **kw))
+    rows.append(run_one("3_bicycle_ng", "bicycle", 0.01, 100000, S(20000, 8000), "NG", 0, "F", **kw))
+    rows.append(run_one("4_tanner_ms_serial", "tanner", 0.04, 65536, S(10000, 400), "MS", 30, "S", **kw))
+    rows.append(run_one("5_lp04_bp_osd2", "lp04_0", 0.04, 100000, S(20000, 4000), "BP", 30, "F", osd_order=2, **kw))
+    rows.append(run_one("5_lp118_bp_osd2", "lp118_0", 0.05, 100000, S(10000, 2000), "BP", 30, "F", osd_order=2, **kw))
     # the reference's own OSD wiring is MS-only (landmine L5) — cover it too
-    rows.append(run_one("5b_lp118_ms_osd2", "lp118_0", 0.05, 100000, s(10000), "MS", 30, "F", osd_order=2))
+    rows.append(run_one("5b_lp118_ms_osd2", "lp118_0", 0.05, 100000, S(10000, 4000), "MS", 30, "F", osd_order=2, **kw))
 
     out = "\n".join(json.dumps(r) for r in rows)
     print(out)

@@ -69,29 +69,41 @@ def run_procs(n: int, code: str, shots: int, batch: int) -> dict:
     sock.bind(("127.0.0.1", 0))
     port = sock.getsockname()[1]
     sock.close()
-    out = tempfile.mktemp(suffix=".json")
-    procs = []
-    for i in range(n):
-        env = dict(os.environ)
-        env.pop("XLA_FLAGS", None)
-        env.update(SMH_CODE=code, SMH_SHOTS=str(shots), SMH_BATCH=str(batch),
-                   SMH_OUT=out)
-        if n > 1:
-            env.update(JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-                       JAX_NUM_PROCESSES=str(n), JAX_PROCESS_ID=str(i))
-        ncores = os.cpu_count() or 1
-        procs.append(subprocess.Popen(
-            ["taskset", "-c", str(i % ncores),
-             sys.executable, "-c", _CHILD % {"root": _ROOT}], env=env,
-            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True))
-    for p in procs:
-        # communicate() drains the stderr pipe while waiting — wait() with a
-        # piped stderr can deadlock if a child fills the pipe buffer.
-        _, err = p.communicate(timeout=600)
-        if p.returncode:
-            raise RuntimeError(err[-2000:])
-    with open(out) as f:
-        return json.load(f)
+    # One private directory per process-count run (mktemp is race-prone and
+    # would also reuse one path across runs); the result file lives inside.
+    with tempfile.TemporaryDirectory(prefix=f"smh{n}_") as tmpdir:
+        out = os.path.join(tmpdir, "result.json")
+        procs = []
+        for i in range(n):
+            env = dict(os.environ)
+            env.pop("XLA_FLAGS", None)
+            env.update(SMH_CODE=code, SMH_SHOTS=str(shots),
+                       SMH_BATCH=str(batch), SMH_OUT=out)
+            if n > 1:
+                env.update(JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                           JAX_NUM_PROCESSES=str(n), JAX_PROCESS_ID=str(i))
+            ncores = os.cpu_count() or 1
+            procs.append(subprocess.Popen(
+                ["taskset", "-c", str(i % ncores),
+                 sys.executable, "-c", _CHILD % {"root": _ROOT}], env=env,
+                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True))
+        errs = []
+        for i, p in enumerate(procs):
+            # communicate() drains the stderr pipe while waiting — wait()
+            # with a piped stderr can deadlock if a child fills the buffer.
+            _, err = p.communicate(timeout=600)
+            if p.returncode:
+                errs.append(f"[proc {i} rc={p.returncode}] {err[-2000:]}")
+        if not os.path.exists(out):
+            # Report EVERY failed child, not just the first — when process 0
+            # dies its stderr usually names the real cause even if others
+            # exited first/cleanly.
+            raise RuntimeError("no result file written; child failures:\n"
+                               + ("\n".join(errs) or "(none reported)"))
+        if errs:
+            raise RuntimeError("\n".join(errs))
+        with open(out) as f:
+            return json.load(f)
 
 
 def main(argv=None):

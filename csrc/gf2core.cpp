@@ -483,4 +483,9 @@ int ms_decode_cpu_mt(const int8_t* H, int m, int n,
     return 0;
 }
 
+// ABI version handshake: qldpcsim_tpu/gf2/native.py checks this after CDLL
+// load and rebuilds on mismatch — bump whenever any exported signature
+// changes (an mtime check alone cannot catch a stale .so after a checkout).
+int gf2core_abi_version() { return 2; }
+
 }  // extern "C"

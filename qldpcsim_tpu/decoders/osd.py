@@ -108,7 +108,22 @@ def make_osd(H: np.ndarray, order: int, platform: str = "auto"):
     cols_packed = st.cols_packed               # (n, mW) np.uint32
     H_T_f32 = np.ascontiguousarray((np.asarray(H) % 2).T).astype(np.float32)
     order = int(order)
-    assert order >= 0
+    if order < 0:
+        raise ValueError(f"osd order must be >= 0, got {order}")
+    # The candidate enumeration unrolls all 2^order patterns at TRACE time
+    # (the factorize-once design makes each pattern one gather+XOR-fold, but
+    # the graph still grows as 2^order): order 8 would emit a 256-way unroll
+    # and silently explode compile time. Note this order-λ semantics
+    # ("all 2^λ patterns over the λ least-reliable info positions",
+    # decoders.py:347-350) is the reference's, NOT the textbook
+    # "all weight-<=λ patterns over the whole info set" — λ beyond ~6 is
+    # outside the regime either formulation targets.
+    if order > 6:
+        raise ValueError(
+            f"osd order {order} > 6: the 2^order candidate enumeration is "
+            "unrolled at trace time and would explode compile time; use a "
+            "smaller order (reference OSD-λ enumerates 2^λ patterns on the "
+            "λ least-reliable info positions — λ<=2 is typical)")
     iota_r = np.arange(r, dtype=np.int32)
 
     def _eliminate(colsP):

@@ -56,6 +56,12 @@ class PPointResult:
             "qBLER_honest": self.qbler_honest,
             "wall_time_s": self.wall_time_s,
             "shots_per_s": self.shots_per_s,
+            # None (valid strict JSON) instead of NaN for cold/1-chunk runs
+            "warm_time_s": (self.warm_time_s
+                            if self.warm_time_s == self.warm_time_s else None),
+            "shots_per_s_warm": (self.shots_per_s_warm
+                                 if self.shots_per_s_warm
+                                 == self.shots_per_s_warm else None),
         }
 
     def to_json(self) -> str:

@@ -23,14 +23,34 @@ _SO = os.path.join(_HERE, "_gf2core.so")
 _SRC = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "csrc", "gf2core.cpp")
 
 
+# Must match gf2core_abi_version() in csrc/gf2core.cpp; bump both whenever
+# any exported signature changes.
+_ABI_VERSION = 2
+
+
+def _abi_version(lib) -> int:
+    """ABI version exported by the loaded library (0 = predates the
+    handshake)."""
+    if not hasattr(lib, "gf2core_abi_version"):
+        return 0
+    lib.gf2core_abi_version.restype = ctypes.c_int
+    lib.gf2core_abi_version.argtypes = []
+    return int(lib.gf2core_abi_version())
+
+
 def _build() -> bool:
     if not os.path.exists(_SRC):
         return False
     try:
+        # Build to a temp name + rename: the fresh inode guarantees a
+        # subsequent CDLL() maps the NEW library (dlopen caches by inode, so
+        # overwriting in place could silently return the stale mapping).
+        tmp = _SO + ".build"
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-             _SRC, "-o", _SO],
+             _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
     except Exception:
         return False
@@ -44,19 +64,29 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _TRIED = True
     if os.environ.get("QLDPC_NATIVE", "1") == "0":
         return None
-    # Rebuild when the source is newer than the library: the C ABI has
-    # grown output parameters over time, and calling a stale .so through
-    # the new signatures would silently misbehave (extra args ignored).
+    # Rebuild when the source is newer than the library (fast mtime hint);
+    # the authoritative staleness check is the ABI version handshake below,
+    # which also catches a stale .so whose mtime a checkout has refreshed.
     stale = (os.path.exists(_SO) and os.path.exists(_SRC)
              and os.path.getmtime(_SRC) > os.path.getmtime(_SO))
     if (not os.path.exists(_SO) or stale) and not _build():
-        if stale:
-            return None  # never call a known-stale library
-        return None
+        return None  # never call a known-stale library
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
+    # ABI handshake: the C ABI has grown output parameters over time, and
+    # calling a mismatched .so through new signatures would silently
+    # misbehave (extra args ignored). One rebuild attempt on mismatch.
+    if _abi_version(lib) != _ABI_VERSION:
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        if _abi_version(lib) != _ABI_VERSION:
+            return None
     u64p = ctypes.POINTER(ctypes.c_uint64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     i8p = ctypes.POINTER(ctypes.c_int8)

@@ -56,3 +56,44 @@ def test_osd_order_improves_weight():
         out = np.asarray(make_osd(H, order)(e_hat, syn, post))
         w[order] = out.sum(axis=1)
     assert (w[2] <= w[0]).all()
+
+
+def test_osd_order_guard():
+    """Orders above 6 must raise (2^order trace-time unroll), and negative
+    orders are rejected with a clear message."""
+    H = np.asarray(get_code("steane").Hz) % 2
+    with pytest.raises(ValueError, match="compile time"):
+        make_osd(H, 8)
+    with pytest.raises(ValueError, match=">= 0"):
+        make_osd(H, -1)
+
+
+def test_apply_osd_odd_batch_window():
+    """The engine's windowed OSD pass with a batch size sharing no factors
+    with 256 (previously a 1-shot-window performance cliff, ADVICE #3) is
+    identical to applying OSD to the failed shots directly."""
+    import jax.numpy as jnp
+
+    from qldpcsim_tpu.engine.montecarlo import ShotPipeline, SimConfig
+
+    code = get_code("lp04_0")
+    B = 250  # gcd(250, 256) = 2: the old path would have run 125 windows
+    cfg = SimConfig(shots=B, batch_size=B, dec_type="BP", dec_iterations=5,
+                    osd_order=1, rng_seed=3)
+    pipe = ShotPipeline(code.Hx, code.Hz, cfg)
+    H = np.asarray(code.Hz) % 2
+    rng = np.random.default_rng(11)
+    err = rng.random((B, H.shape[1])) < 0.06
+    syn = (err.astype(np.int64) @ H.T.astype(np.int64)) % 2
+    res = pipe.dec_x(jnp.asarray(syn, jnp.float32), 0.02)
+    failed = ~np.asarray(res.converged)
+    assert failed.any(), "need some failed shots to exercise the window"
+    out = np.asarray(pipe._apply_osd(pipe.osd_x, res.e_hat, res.posterior,
+                                     jnp.asarray(syn, jnp.float32),
+                                     jnp.asarray(failed)))
+    direct = np.asarray(res.e_hat).copy()
+    fi = np.nonzero(failed)[0]
+    direct[fi] = np.asarray(pipe.osd_x(np.asarray(res.e_hat)[fi],
+                                       syn[fi].astype(np.float32),
+                                       np.asarray(res.posterior)[fi]))
+    assert (out == direct).all()
