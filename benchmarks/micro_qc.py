@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--p", type=float, default=0.05)
     ap.add_argument("--bblk", type=int, default=128)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--groups", type=int, default=32,
+                    help="chunks fused per dispatch (lax.scan)")
     args = ap.parse_args()
 
     code = get_code(args.code)
@@ -50,35 +52,49 @@ def main():
 
     rng = np.random.default_rng(0)
     n = Hx.shape[1]
-    u = rng.random((args.batch, n))
+    G = args.groups
+    u = rng.random((G, args.batch, n))
     err_x = (u < 2 * args.p / 3).astype(np.int8)
     err_z = ((u >= args.p / 3) & (u < args.p)).astype(np.int8)
-    sy_z = jnp.asarray((err_x @ Hz.T) % 2)
+    # G distinct syndrome chunks: scanning the SAME input would let XLA
+    # hoist the whole decode out of the scan and measure one evaluation
+    # (docs/PERFORMANCE.md measurement notes).
+    sy_z = jnp.asarray((err_x @ Hz.T) % 2)            # (G, B, m)
     sy_x = jnp.asarray((err_z @ Hx.T) % 2)
     pr = args.p / 3
 
-    def step():
-        rz = dec_z(sy_z, pr)
-        rx = dec_x(sy_x, pr)
-        return rz.e_hat, rx.e_hat, rz.n_iter, rx.n_iter
+    @jax.jit
+    def step(syz, syx):
+        # G chunks fused in one dispatch (like the engine's dispatch
+        # groups): a single-chunk call is ~3.3 ms dispatch-latency-bound
+        # through the tunnel and cannot resolve kernel-level deltas.
+        def body(c, xs):
+            sz, sx = xs
+            rz = dec_z(sz, pr)
+            rx = dec_x(sx, pr)
+            return c + jnp.sum(rz.n_iter) + jnp.sum(rx.n_iter), None
 
-    out = step()
-    jax.block_until_ready(out)
+        tot, _ = jax.lax.scan(body, jnp.int32(0), (syz, syx))
+        return tot
+
+    # Force with device_get, not block_until_ready: the latter can return
+    # before execution finishes on the axon remote backend.
+    tot = jax.device_get(step(sy_z, sy_x))
     best = 0.0
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        out = step()
-        jax.block_until_ready(out)
+        tot = jax.device_get(step(sy_z, sy_x))
         dt = time.perf_counter() - t0
-        best = max(best, args.batch / dt)
-    it_z, it_x = np.asarray(out[2]), np.asarray(out[3])
+        best = max(best, G * args.batch / dt)
+    avg_it = float(tot) / (2 * G * args.batch)
     print(json.dumps({
         "metric": f"qc_decode_only ({args.code} {args.kind} {args.sched} "
-                  f"{args.iters}it p={args.p} B={args.batch} blk={args.bblk})",
+                  f"{args.iters}it p={args.p} B={args.batch} blk={args.bblk} "
+                  f"G={G})",
         "value": round(best, 1),
         "unit": "shots/s",
-        "avg_iters_z": round(float(it_z.mean()), 3),
-        "avg_iters_x": round(float(it_x.mean()), 3),
+        "avg_iters": round(avg_it, 3),
+        "iter_checksum": int(tot),
     }))
 
 

@@ -164,10 +164,13 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
             to `post_blocks` (and flipped bits into `mis` when tracked).
             active_f: (1, B) 0/1 freeze mask."""
             bl = blocks[i]
-            af = active_f.astype(ct)
             row = list(c2v[i])                               # slot -> (L, B)
             ss = syn_sign[i * L:(i + 1) * L]                 # (L, B)
-            # pass 1: v2c per slot; running row reduction
+            # pass 1: v2c per slot; running row reduction. For MS the slot
+            # cache keeps (|v|, neg) instead of v — pass 2 needs only the
+            # magnitude (for the value-equality min test) and the sign, so
+            # caching them here saves an abs + compare + sign-build per slot
+            # in pass 2 (measured on the r4 bookkeeping hunt).
             v2cs = []
             if kind == "MS":
                 m1 = jnp.full((L, B_blk), _BIG, ct)
@@ -179,9 +182,10 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
                 pos_r = _roll_up(snapshot[j], s, L)
                 v = pos_r - row[d]
                 if kind == "MS":
-                    v2cs.append(v)
                     a = jnp.abs(v)
-                    neg_par = neg_par + (v < 0.0).astype(ct)
+                    neg = (v < 0.0).astype(ct)
+                    v2cs.append((a, neg))
+                    neg_par = neg_par + neg
                     is_new_min = a < m1
                     m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, a))
                     m1 = jnp.where(is_new_min, a, m1)
@@ -206,22 +210,28 @@ def _make_kernel(st: QCStructure, layer_groups, beta: float, max_iter: int,
                 coef = beta * ss * prod_sign                     # (L, B)
             else:
                 clamp = 1.0 - eps
-            # pass 2: extrinsic messages + state writeback
+            # pass 2: extrinsic messages + state writeback. Frozen lanes keep
+            # their row value via a broadcast select (cheaper than the
+            # delta*mask formulation, and writes the extrinsic EXACTLY
+            # instead of row + fl(new - row)).
             post_blocks = list(post_blocks)
             mis = list(mis)
+            af_on = active_f > 0.5                           # (1, B) mask
             for d, (j, s) in enumerate(bl):
-                v = v2cs[d]
                 if kind == "MS":
-                    sign = 1.0 - 2.0 * (v < 0.0).astype(ct)
-                    a = jnp.abs(v)
+                    a, neg = v2cs[d]
                     mag = jnp.where(a == m1, m2, m1)
-                    new_c2v = coef * sign * mag
+                    # signed magnitude from the cached 0/1 sign bit:
+                    # mag - 2*neg*mag == +/-mag exactly (sign(0)=+1 kept)
+                    new_c2v = coef * (mag - 2.0 * (neg * mag))
                 else:
-                    th2 = jnp.clip(prod / v, -clamp, clamp)
+                    t = v2cs[d]
+                    th2 = jnp.clip(prod / t, -clamp, clamp)
                     # arctanh via log ((1+x)/(1-x)) — no Mosaic atanh lowering
                     new_c2v = ss * jnp.log((1.0 + th2) / (1.0 - th2))
-                delta = (new_c2v - row[d]) * af
-                row[d] = row[d] + delta
+                new_row = jnp.where(af_on, new_c2v, row[d])
+                delta = new_row - row[d]
+                row[d] = new_row
                 back = _roll_up(delta, (L - s) % L, L)
                 if track_mis:
                     old_neg = (post_blocks[j] < 0.0).astype(ct)
