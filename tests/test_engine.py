@@ -78,7 +78,9 @@ def test_fused_dispatch_counter_parity():
             chunk_keys(key, c * tpc, tpc), jnp.float32(0.03), jnp.int32(128)))
         for k, v in o.items():
             per[k] = per.get(k, 0) + int(v)
-    assert {k: int(v) for k, v in fused.items()} == per
+    # the fused body additionally reports the cascade-deferral overflow flag
+    assert int(fused.get("gcOverflow", 0)) == 0
+    assert {k: int(v) for k, v in fused.items() if k != "gcOverflow"} == per
 
     # simulate_p grouping invariance (dispatch_chunks 1 vs 4 vs padded 3).
     rs = [simulate_p(code.Hx, code.Hz, 0.03,
@@ -415,3 +417,54 @@ def test_checkpoint_id_pins_code_layout_and_decoder_knobs(tmp_path):
                SimConfig(batch_size=64, dec_type="BF", bf_residual="bool",
                          **base))
     assert n_ckpts() == 7
+
+
+def test_group_cascade_bit_exact(monkeypatch):
+    """The group-deferred cascade (head decode in-chunk, dense group-level
+    refinement windows) must reproduce the in-chunk cascade counters
+    BIT-EXACTLY — determinism makes every per-shot result identical, so
+    this pins the deferral/compaction/window bookkeeping."""
+    import os
+
+    code = get_code("lp04_0")
+    base = dict(shots=2048, dec_type="MS", dec_iterations=50, rng_seed=13,
+                batch_size=512, dispatch_chunks=4)
+    monkeypatch.setenv("QLDPC_GROUP_CASCADE", "1")
+    r_new = simulate_p(code.Hx, code.Hz, 0.06, SimConfig(**base))
+    monkeypatch.delenv("QLDPC_GROUP_CASCADE")
+    r_old = simulate_p(code.Hx, code.Hz, 0.06, SimConfig(**base))
+    assert r_new.counters == r_old.counters
+    assert r_new.avg_iterations_x == r_old.avg_iterations_x
+    assert r_new.avg_iterations_z == r_old.avg_iterations_z
+
+
+def test_group_cascade_with_osd_bit_exact(monkeypatch):
+    """Same pin with OSD in the loop: window-level OSD (posteriors from the
+    group refinement decode) equals the per-chunk OSD-deferral path."""
+    code = get_code("lp04_0")
+    base = dict(shots=1024, dec_type="BP", dec_iterations=16, rng_seed=5,
+                batch_size=512, osd_order=1, dispatch_chunks=2)
+    monkeypatch.setenv("QLDPC_GROUP_CASCADE", "1")
+    r_new = simulate_p(code.Hx, code.Hz, 0.07, SimConfig(**base))
+    monkeypatch.delenv("QLDPC_GROUP_CASCADE")
+    r_old = simulate_p(code.Hx, code.Hz, 0.07, SimConfig(**base))
+    assert r_new.counters == r_old.counters
+    assert r_new.avg_iterations_x == r_old.avg_iterations_x
+
+
+def test_group_cascade_overflow_fallback():
+    """A chunk whose stragglers exceed the deferral capacity must fall back
+    to the full in-chunk cascade (counters equal the disabled-path run) —
+    p high enough that >F shots fail the 4-iteration head."""
+    import os
+
+    code = get_code("lp04_0")
+    base = dict(shots=2048, dec_type="MS", dec_iterations=16, rng_seed=7,
+                batch_size=2048)
+    os.environ["QLDPC_GROUP_CASCADE"] = "1"
+    try:
+        r_new = simulate_p(code.Hx, code.Hz, 0.30, SimConfig(**base))
+    finally:
+        del os.environ["QLDPC_GROUP_CASCADE"]
+    r_old = simulate_p(code.Hx, code.Hz, 0.30, SimConfig(**base))
+    assert r_new.counters == r_old.counters
