@@ -497,12 +497,14 @@ class ShotPipeline:
         compiled window shape. No host round trip, no host-side compaction.
         """
         B = e_hat.shape[0]
-        # Window size: 256 (or the whole batch when smaller). The compacted
-        # index buffer is padded up to a multiple of the window so the
-        # dynamic_slice below never clamps — previously cap = gcd(B, 256)
-        # silently degenerated to 1-shot windows for odd batch sizes
-        # (ADVICE #3), running one 128-lane-padded elimination launch per
-        # failed shot.
+        # Window size: 256 (or the whole batch when smaller) — the r4 cap
+        # sweep measured 256 optimal on v5e (1024-lane windows were ~20%
+        # SLOWER on config 5: the elimination kernel's grid iterates
+        # 128-lane blocks sequentially, so wider windows amortize nothing
+        # and pay more padding). The compacted index buffer is padded up
+        # to a multiple of the window so the dynamic_slice below never
+        # clamps — previously cap = gcd(B, 256) silently degenerated to
+        # 1-shot windows for odd batch sizes (ADVICE #3).
         cap = min(B, 256)
         B_pad = -(-B // cap) * cap
         # Compaction by cumsum-scatter (same stable lane-ascending order as
