@@ -67,3 +67,17 @@ def test_native_ms_matches_oracle(rng):
         # sequentially while NumPy uses pairwise summation, so f32 values
         # differ in the ~5th decimal (decisions/iters above are exact).
         assert np.allclose(post[s], post_ref, rtol=1e-3, atol=1e-3), s
+
+
+def test_native_abi_handshake():
+    """The loaded library's exported ABI version must match the binding's
+    expectation (gf2/native.py rebuilds on mismatch — an mtime check alone
+    cannot catch a stale .so after a checkout)."""
+    from qldpcsim_tpu.gf2 import native
+
+    lib = native.get_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native gf2core unavailable")
+    assert native._abi_version(lib) == native._ABI_VERSION
