@@ -12,6 +12,7 @@ from qldpcsim_tpu.decoders import (
     layerize,
     make_bf_decoder,
     make_bp_decoder,
+    make_decoder,
     make_ms_decoder,
     make_ng_decoder,
 )
@@ -294,3 +295,38 @@ def test_fuzz_random_H_bf_ng_match_oracle(seed):
         assert int(np.asarray(rb.n_iter)[s]) == it_ref, f"BF iters shot {s}"
         e_ng, steps = oracle.ng_decode(H, syn[s])
         assert (np.asarray(rn.e_hat)[s] == e_ng).all(), f"NG shot {s}"
+
+
+@pytest.mark.parametrize("dec_type", ["MS", "BP", "BF", "NG"])
+def test_empty_parity_matrix(dec_type):
+    """m=0 parity-check matrices decode to the zero error (the reference
+    guards H.size==0 in every decoder, decoders.py:86-87,138-139,215-216 —
+    though its guard returns a bare array, landmine L7; here the result is
+    a normal DecodeResult)."""
+    H = np.zeros((0, 9), np.int8)
+    g = TannerGraph.build(H)
+    dec = make_decoder(g, DecoderConfig(dec_type=dec_type, max_iter=5,
+                                        platform="cpu", round1_iters=-1))
+    r = dec(np.zeros((4, 0), np.int8), 0.01)
+    assert np.asarray(r.e_hat).shape == (4, 9)
+    assert (np.asarray(r.e_hat) % 2 == 0).all()
+    assert np.asarray(r.converged).all()
+
+
+def test_one_sided_code_end_to_end():
+    """A CSS pair with NO X checks (Hx empty — the reference's circuit
+    builder guards this case, simulator.py:58-68) runs through the full
+    engine: X errors decode through Hz as usual, Z errors have no
+    constraints (e_hat_z = 0) and only X-side statistics accumulate."""
+    from qldpcsim_tpu.engine.montecarlo import SimConfig, simulate_p
+
+    Hz = np.array([[1, 1, 0, 1, 0, 1, 1],
+                   [0, 1, 1, 1, 1, 0, 1],
+                   [1, 0, 1, 1, 1, 1, 0]], np.int8)
+    Hx = np.zeros((0, 7), np.int8)
+    r = simulate_p(Hx, Hz, 0.02, SimConfig(shots=256, dec_iterations=5,
+                                           batch_size=128, rng_seed=0))
+    c = r.counters
+    assert c["DecFailures_Z"] == 0  # no X checks -> Z decode trivially OK
+    assert 0 <= c["decSuccessExact"] <= 256
+    assert 0.0 <= r.qbler <= 1.0

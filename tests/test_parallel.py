@@ -131,3 +131,35 @@ def test_perdevice_sweep_bit_exact():
     for rs, rp, rm in zip(serial, swept, swept_sm):
         assert rp.counters == rs.counters == rm.counters
         assert rp.avg_iterations_x == rs.avg_iterations_x
+
+
+def test_perdevice_fallback_on_failure():
+    """with_perdevice_fallback: a primary that raises at dispatch is
+    permanently replaced by the fallback (the shard_map failure-recovery
+    path), with a RuntimeWarning."""
+    import warnings
+
+    from qldpcsim_tpu.parallel.mesh import with_perdevice_fallback
+
+    calls = {"primary": 0, "fb_built": 0, "fb": 0}
+
+    def primary(*a):
+        calls["primary"] += 1
+        raise RuntimeError("partitioner exploded")
+
+    def build_fb():
+        calls["fb_built"] += 1
+
+        def fb(*a):
+            calls["fb"] += 1
+            return {"ok": sum(a)}
+
+        return fb
+
+    run = with_perdevice_fallback(primary, build_fb)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert run(1, 2) == {"ok": 3}
+    assert any("falling back" in str(x.message) for x in w)
+    assert run(3, 4) == {"ok": 7}
+    assert calls == {"primary": 1, "fb_built": 1, "fb": 2}
