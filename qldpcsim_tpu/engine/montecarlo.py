@@ -423,6 +423,10 @@ class ShotPipeline:
         self._multi_counts_nogc = (_wrap(self._multi_chunk_body_nogc)
                                    if self.use_group_cascade
                                    else self._multi_counts)
+        # 128 chunks/group: 256 measures ~+1% on the flagship (bench.py
+        # passes it explicitly) but makes runs whose chunk count is not a
+        # multiple of 256 compile an extra final-group shape inside the
+        # warm window — not worth it as the default.
         self.dispatch_chunks = cfg.dispatch_chunks or max(
             1, min(128, 524288 // max(1, self.batch)))
 
