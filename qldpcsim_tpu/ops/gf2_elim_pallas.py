@@ -59,28 +59,38 @@ def make_eliminate_pallas(n: int, r: int, mW: int, rW: int,
     r_pad = 1 << max(3, (r - 1).bit_length())   # >= 8 sublanes, power of two
     bw = mW + rW                                # fused basis|tags word width
 
-    def kernel(cols_ref, bt_in, piv_in, cnt_in,
-               sel_ref, bt_out, piv_out, cnt_out):
+    def make_kernel(rp):
+        """Kernel over an rp-row state. rp < r_pad is only used for the
+        FIRST column window: one window of W columns can insert at most W
+        pivots, so a W-row state is provably sufficient there and halves
+        the dominant (rows x bw) mask/fold/eliminate work while the basis
+        is still small; the host pads the state up to r_pad afterwards
+        (zero rows with pivot=-1 contribute nothing — bit-identical)."""
+        return _make_kernel_impl(rp)
+
+    def _make_kernel_impl(rp):
+      def kernel(cols_ref, bt_in, piv_in, cnt_in,
+                 sel_ref, bt_out, piv_out, cnt_out):
         f32 = jnp.float32
 
         def step(j, state):
-            bt, pivots, cnt = state                    # (r_pad, bw, B), (r_pad, B), (1, B)
+            bt, pivots, cnt = state                    # (rp, bw, B), (rp, B), (1, B)
             v = cols_ref[pl.ds(j, 1)][0]               # (mW, B)
-            valid = pivots >= 0                        # (r_pad, B)
+            valid = pivots >= 0                        # (rp, B)
             pw = jnp.maximum(pivots, 0) >> 5
             ps = (jnp.maximum(pivots, 0) & 31).astype(u32)
             # word of v at each pivot's word index (select over mW words)
-            h = jnp.zeros((r_pad, B_blk), u32)
+            h = jnp.zeros((rp, B_blk), u32)
             for w in range(mW):
                 h = jnp.where(pw == w,
-                              jnp.broadcast_to(v[w][None, :], (r_pad, B_blk)), h)
+                              jnp.broadcast_to(v[w][None, :], (rp, B_blk)), h)
             h = (h >> ps) & u32(1)
             h = jnp.where(valid, h, u32(0))
-            hm = (u32(0) - h)                          # (r_pad, B)
+            hm = (u32(0) - h)                          # (rp, B)
 
             # ONE masked XOR-fold over the fused basis|tags array.
-            x = bt & hm[:, None, :]                    # (r_pad, bw, B)
-            pot = r_pad
+            x = bt & hm[:, None, :]                    # (rp, bw, B)
+            pot = rp
             while pot > 1:
                 pot //= 2
                 x = x[:pot] ^ x[pot:2 * pot]
@@ -118,16 +128,16 @@ def make_eliminate_pallas(n: int, r: int, mW: int, rW: int,
             # back-eliminate the new pivot bit from existing fused rows
             pvw = jnp.maximum(piv_new, 0) >> 5
             pvs = (jnp.maximum(piv_new, 0) & 31).astype(u32)
-            hb = jnp.zeros((r_pad, B_blk), u32)
+            hb = jnp.zeros((rp, B_blk), u32)
             for w in range(mW):
                 hb = jnp.where(pvw == w, bt[:, w, :], hb)
             hb = (hb >> pvs) & u32(1)
             hb = jnp.where(valid & upd, hb, u32(0))
-            hbm = (u32(0) - hb)                        # (r_pad, B)
+            hbm = (u32(0) - hb)                        # (rp, B)
             bt = bt ^ (hbm[:, None, :] & vt_new[None, :, :])
 
             # insert the new fused row at slot cnt
-            iota_r = jax.lax.broadcasted_iota(jnp.int32, (r_pad, B_blk), 0)
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (rp, B_blk), 0)
             slot = (iota_r == cnt_c) & upd             # (r_pad, B)
             sm = (u32(0) - slot.astype(u32))
             bt = (bt & ~sm[:, None, :]) | (sm[:, None, :] & vt_new[None])
@@ -143,18 +153,20 @@ def make_eliminate_pallas(n: int, r: int, mW: int, rW: int,
         piv_out[...] = pivots
         cnt_out[...] = cnt
 
-    grid_spec = lambda Bp: dict(  # noqa: E731
+      return kernel
+
+    grid_spec = lambda Bp, rp: dict(  # noqa: E731
         grid=(Bp // B_blk,),
         in_specs=[
             pl.BlockSpec((W, mW, B_blk), lambda b: (0, 0, b)),
-            pl.BlockSpec((r_pad, bw, B_blk), lambda b: (0, 0, b)),
-            pl.BlockSpec((r_pad, B_blk), lambda b: (0, b)),
+            pl.BlockSpec((rp, bw, B_blk), lambda b: (0, 0, b)),
+            pl.BlockSpec((rp, B_blk), lambda b: (0, b)),
             pl.BlockSpec((1, B_blk), lambda b: (0, b)),
         ],
         out_specs=[
             pl.BlockSpec((W, B_blk), lambda b: (0, b)),
-            pl.BlockSpec((r_pad, bw, B_blk), lambda b: (0, 0, b)),
-            pl.BlockSpec((r_pad, B_blk), lambda b: (0, b)),
+            pl.BlockSpec((rp, bw, B_blk), lambda b: (0, 0, b)),
+            pl.BlockSpec((rp, B_blk), lambda b: (0, b)),
             pl.BlockSpec((1, B_blk), lambda b: (0, b)),
         ],
     )
@@ -170,21 +182,54 @@ def make_eliminate_pallas(n: int, r: int, mW: int, rW: int,
             # zero columns are no-ops in the elimination sweep
             x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
         Bp = B + pad
-        gs = grid_spec(Bp)
 
-        call = pl.pallas_call(
-            kernel,
-            grid=gs["grid"],
-            in_specs=gs["in_specs"],
-            out_specs=gs["out_specs"],
-            out_shape=[
-                jax.ShapeDtypeStruct((W, Bp), jnp.int32),
-                jax.ShapeDtypeStruct((r_pad, bw, Bp), u32),
-                jax.ShapeDtypeStruct((r_pad, Bp), jnp.int32),
-                jax.ShapeDtypeStruct((1, Bp), jnp.float32),
-            ],
-            interpret=interpret,
-        )
+        def make_call(rp):
+            gs = grid_spec(Bp, rp)
+            return pl.pallas_call(
+                make_kernel(rp),
+                grid=gs["grid"],
+                in_specs=gs["in_specs"],
+                out_specs=gs["out_specs"],
+                out_shape=[
+                    jax.ShapeDtypeStruct((W, Bp), jnp.int32),
+                    jax.ShapeDtypeStruct((rp, bw, Bp), u32),
+                    jax.ShapeDtypeStruct((rp, Bp), jnp.int32),
+                    jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+                ],
+                interpret=interpret,
+            )
+
+        call = make_call(r_pad)
+
+        # Lane-pad slots start at cnt=r (not 0): they never gain pivots, and
+        # a 0 would hold `any(cnt < r)` true forever, silently defeating the
+        # early exit whenever B % B_blk != 0.
+        cnt0 = jnp.full((1, Bp), float(r), jnp.float32)
+        cnt0 = jax.lax.dynamic_update_slice(
+            cnt0, jnp.zeros((1, B), jnp.float32), (0, 0))
+
+        sel0 = jnp.zeros((n_pad, Bp), jnp.int32)
+        # First window on a half-height (W-row) state when the full state
+        # is taller: W columns insert at most W pivots, so the small state
+        # is sufficient there and the dominant per-column (rows x bw) work
+        # halves while the basis is still filling. Bit-identical: the
+        # padded-away rows hold pivot=-1 and zero words, which contribute
+        # nothing to any fold.
+        rp1 = W if (r_pad > W and W >= 8 and (W & (W - 1)) == 0) else r_pad
+        if rp1 < r_pad:
+            selw, bt_s, piv_s, cnt = make_call(rp1)(
+                x[:W], jnp.zeros((rp1, bw, Bp), u32),
+                jnp.full((rp1, Bp), -1, jnp.int32), cnt0)
+            bt0 = jnp.pad(bt_s, ((0, r_pad - rp1), (0, 0), (0, 0)))
+            piv0 = jnp.pad(piv_s, ((0, r_pad - rp1), (0, 0)),
+                           constant_values=-1)
+            sel0 = jax.lax.dynamic_update_slice(sel0, selw, (0, 0))
+            lo0 = W
+        else:
+            bt0 = jnp.zeros((r_pad, bw, Bp), u32)
+            piv0 = jnp.full((r_pad, Bp), -1, jnp.int32)
+            cnt = cnt0
+            lo0 = 0
 
         def cond(c):
             lo, bt, piv, cnt, sel = c
@@ -197,19 +242,7 @@ def make_eliminate_pallas(n: int, r: int, mW: int, rW: int,
             sel = jax.lax.dynamic_update_slice(sel, selw, (lo, 0))
             return lo + W, bt, piv, cnt, sel
 
-        # Lane-pad slots start at cnt=r (not 0): they never gain pivots, and
-        # a 0 would hold `any(cnt < r)` true forever, silently defeating the
-        # early exit whenever B % B_blk != 0.
-        cnt0 = jnp.full((1, Bp), float(r), jnp.float32)
-        cnt0 = jax.lax.dynamic_update_slice(
-            cnt0, jnp.zeros((1, B), jnp.float32), (0, 0))
-        init = (
-            jnp.int32(0),
-            jnp.zeros((r_pad, bw, Bp), u32),
-            jnp.full((r_pad, Bp), -1, jnp.int32),
-            cnt0,
-            jnp.zeros((n_pad, Bp), jnp.int32),
-        )
+        init = (jnp.int32(lo0), bt0, piv0, cnt, sel0)
         _, bt, piv, cnt, sel = jax.lax.while_loop(cond, body, init)
 
         sl = slice(0, B)
