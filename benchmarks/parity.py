@@ -233,6 +233,8 @@ def main(argv=None):
                     help="oracle side: native C++/NumPy reference-semantics "
                          "decoders (fast) or the literal path-imported "
                          "reference (slow; reduced shot counts)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated config-name prefixes to run")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -251,18 +253,27 @@ def main(argv=None):
     # qBLER~0.4); reference-import counts sized for ~30 min total wall time
     # (measured: tanner MS serial 1.6 s/shot, lp118 BP+OSD 0.2 s/shot).
     kw = {"oracle_mode": mode}
-    rows.append(run_one("1_shor_bp_p01", "shor", 0.01, 100000, S(20000, 20000), "BP", 99, "F", **kw))
-    rows.append(run_one("1_shor_bp_p05", "shor", 0.05, 100000, S(20000, 20000), "BP", 99, "F", **kw))
-    rows.append(run_one("2_steane_nms_layered", "steane", 0.05, 100000, S(20000, 20000), "MS", 50, "L", **kw))
-    rows.append(run_one("3_bicycle_bf", "bicycle", 0.02, 100000, S(20000, 20000), "BF", 50, "F", **kw))
-    rows.append(run_one("3_bicycle_bf_refres", "bicycle", 0.02, 100000, S(20000, 20000), "BF", 50, "F",
-                        bf_residual="bool", **kw))
-    rows.append(run_one("3_bicycle_ng", "bicycle", 0.01, 100000, S(20000, 8000), "NG", 0, "F", **kw))
-    rows.append(run_one("4_tanner_ms_serial", "tanner", 0.04, 65536, S(10000, 400), "MS", 30, "S", **kw))
-    rows.append(run_one("5_lp04_bp_osd2", "lp04_0", 0.04, 100000, S(20000, 4000), "BP", 30, "F", osd_order=2, **kw))
-    rows.append(run_one("5_lp118_bp_osd2", "lp118_0", 0.05, 100000, S(10000, 2000), "BP", 30, "F", osd_order=2, **kw))
+    prefixes = (tuple(x.strip() for x in args.only.split(","))
+                if args.only else None)
+
+    def R(name, *a, **k):
+        if prefixes and not name.startswith(prefixes):
+            return None
+        return run_one(name, *a, **k)
+
+    rows.append(R("1_shor_bp_p01", "shor", 0.01, 100000, S(20000, 20000), "BP", 99, "F", **kw))
+    rows.append(R("1_shor_bp_p05", "shor", 0.05, 100000, S(20000, 20000), "BP", 99, "F", **kw))
+    rows.append(R("2_steane_nms_layered", "steane", 0.05, 100000, S(20000, 20000), "MS", 50, "L", **kw))
+    rows.append(R("3_bicycle_bf", "bicycle", 0.02, 100000, S(20000, 20000), "BF", 50, "F", **kw))
+    rows.append(R("3_bicycle_bf_refres", "bicycle", 0.02, 100000, S(20000, 20000), "BF", 50, "F",
+                  bf_residual="bool", **kw))
+    rows.append(R("3_bicycle_ng", "bicycle", 0.01, 100000, S(20000, 8000), "NG", 0, "F", **kw))
+    rows.append(R("4_tanner_ms_serial", "tanner", 0.04, 65536, S(10000, 400), "MS", 30, "S", **kw))
+    rows.append(R("5_lp04_bp_osd2", "lp04_0", 0.04, 100000, S(20000, 4000), "BP", 30, "F", osd_order=2, **kw))
+    rows.append(R("5_lp118_bp_osd2", "lp118_0", 0.05, 100000, S(10000, 2000), "BP", 30, "F", osd_order=2, **kw))
     # the reference's own OSD wiring is MS-only (landmine L5) — cover it too
-    rows.append(run_one("5b_lp118_ms_osd2", "lp118_0", 0.05, 100000, S(10000, 4000), "MS", 30, "F", osd_order=2, **kw))
+    rows.append(R("5b_lp118_ms_osd2", "lp118_0", 0.05, 100000, S(10000, 4000), "MS", 30, "F", osd_order=2, **kw))
+    rows = [r for r in rows if r is not None]
 
     out = "\n".join(json.dumps(r) for r in rows)
     print(out)
