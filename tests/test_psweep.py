@@ -124,3 +124,21 @@ def test_sweep_per_p_timing():
         assert row["shots_per_s_warm"] > 0
     # within one block both points share the dispatches: equal split
     assert rs[0].wall_time_s == rs[1].wall_time_s
+
+
+def test_sweep_group_cascade_and_overflow_retry(monkeypatch):
+    """simulate_sweep under the opt-in group cascade: normal-p blocks match
+    the default path bit-exactly, and a very-high-p block (deferral
+    overflow on every chunk) triggers the group retry through the
+    non-deferring step — still bit-exact."""
+    code = get_code("lp04_0")
+    ps = [0.03, 0.30]  # second point overflows the deferral cap
+    base = dict(shots=1024, dec_type="MS", dec_iterations=16, rng_seed=5,
+                batch_size=512, mesh_p=2)
+    monkeypatch.setenv("QLDPC_GROUP_CASCADE", "1")
+    swept_gc = simulate_sweep(code.Hx, code.Hz, ps, SimConfig(**base))
+    monkeypatch.delenv("QLDPC_GROUP_CASCADE")
+    swept = simulate_sweep(code.Hx, code.Hz, ps, SimConfig(**base))
+    for a, b in zip(swept_gc, swept):
+        assert a.counters == b.counters, a.p
+        assert a.avg_iterations_x == b.avg_iterations_x, a.p
