@@ -326,18 +326,19 @@ class ShotPipeline:
         # result if converged early, else from-scratch deeper decode), so
         # counters are unchanged (test_group_cascade_bit_exact).
         #
-        # Measured NEGATIVE on the flagship (v5e, LP118 MS-L-50 p=0.05) in
-        # four variants — 3.3-4.4M vs 4.8M shots/s for the in-chunk
-        # cascade — and therefore off by default. Why it loses there: tail
-        # cost is blocks x slowest-lane-iterations, the per-chunk stage-3
-        # block is already ~55% occupied by genuine stragglers, and the
-        # cross-chunk record movement (row gathers measure ~2 GB/s on this
-        # backend; the defer extraction itself is a free one-hot MXU
-        # matmul) eats the remaining densification. The full ledger is in
-        # docs/PERFORMANCE.md "Negative results". It can still win when
-        # stragglers are rare (low p / shallow codes): the head-only chunk
-        # measured 7.5M shots/s, so workloads whose deferral rate ~0
-        # approach that ceiling.
+        # Measured NEGATIVE on the flagship (v5e, LP118 MS-L-50) in four
+        # variants at p=0.05 (3.3-4.4M vs 4.8M shots/s) AND at p=0.02
+        # (4.9M vs 6.5M) — off by default with no measured win regime on
+        # this hardware. Why it loses: tail cost is blocks x
+        # slowest-lane-iterations, the per-chunk stage blocks are already
+        # decently occupied by genuine stragglers, and the cross-chunk
+        # record movement (row gathers measure ~2 GB/s on this backend;
+        # the defer extraction itself is a free one-hot MXU matmul) eats
+        # the remaining densification. Full ledger:
+        # docs/PERFORMANCE.md "Negative results". Kept as tested,
+        # bit-exact machinery (the defer/retry pattern and the
+        # record-extraction matmul are reusable) and for backends with
+        # cheaper gathers.
         self.use_group_cascade = (
             dcfg.dec_type.upper() in ("MS", "BP")
             and int(dcfg.max_iter) > 12
