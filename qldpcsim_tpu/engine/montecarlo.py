@@ -156,9 +156,11 @@ TINY_CODE_DIM = int(os.environ.get("QLDPC_TINY_CODE_DIM", "128"))
 
 
 def _resolve_exec_mode(cfg: SimConfig, platform: str) -> str:
-    """Sharded execution strategy (see SimConfig.exec_mode). Multi-process
-    meshes force shardmap (per-device host reduction cannot address remote
-    devices)."""
+    """Sharded execution strategy (see SimConfig.exec_mode). Works for both
+    single- and multi-process meshes: under multi-process, 'perdevice'
+    dispatches per LOCAL device and reduces the counter vector across
+    processes through the coordination-service KV store — never a
+    partitioned compile (parallel/mesh.py::allreduce_counters_host)."""
     mode = cfg.exec_mode
     if mode == "auto":
         mode = os.environ.get("QLDPC_EXEC_MODE", "auto")
@@ -167,8 +169,6 @@ def _resolve_exec_mode(cfg: SimConfig, platform: str) -> str:
     if mode not in ("shardmap", "perdevice"):
         raise ValueError(f"exec_mode must be auto|shardmap|perdevice, "
                          f"got {cfg.exec_mode!r}")
-    if mode == "perdevice" and jax.process_count() > 1:
-        mode = "shardmap"
     return mode
 
 
@@ -786,25 +786,34 @@ def simulate_sweep(Hx: np.ndarray, Hz: np.ndarray, ps: Sequence[float],
 
         body_jit = jax.jit(body)
 
+        _pd_seq = iter(range(1 << 62))
+
         def step_perdevice(p_vec, keys, nv):
             """Per-device-dispatch sweep step (exec_mode='perdevice'): one
-            single-device jit per (p-row, device) cell of the grid,
-            counters host-reduced per p-row — bit-exact vs the shard_map
-            step by the RNG tile contract. See
+            single-device jit per LOCAL (p-row, device) cell of the grid,
+            counters host-reduced per p-row and (multi-process) summed
+            across processes via the coordination-service KV store —
+            bit-exact vs the shard_map step by the RNG tile contract. See
             parallel.mesh.per_device_multi_chunk_fn."""
+            from qldpcsim_tpu.parallel.mesh import allreduce_counters_host
+
             keys_h = np.asarray(jax.device_get(keys))
             nv_h = np.asarray(jax.device_get(nv))
             p_h = np.asarray(jax.device_get(p_vec))
-            futs = [[body_jit(jax.device_put(keys_h[ip, d], grid[ip, d]),
-                              jax.device_put(jnp.float32(p_h[ip]),
-                                             grid[ip, d]),
-                              jax.device_put(nv_h[ip, d], grid[ip, d]))
-                     for d in range(ndev_s)] for ip in range(n_p)]
+            me = jax.process_index()
+            cells = [(ip, d) for ip in range(n_p) for d in range(ndev_s)
+                     if grid[ip, d].process_index == me]
+            futs = [body_jit(jax.device_put(keys_h[ip, d], grid[ip, d]),
+                             jax.device_put(jnp.float32(p_h[ip]),
+                                            grid[ip, d]),
+                             jax.device_put(nv_h[ip, d], grid[ip, d]))
+                    for ip, d in cells]
             res = jax.device_get(futs)
-            return {k: np.array([sum(int(res[ip][d][k])
-                                     for d in range(ndev_s))
-                                 for ip in range(n_p)], np.int64)
-                    for k in res[0][0]}
+            loc = {k: np.zeros(n_p, np.int64) for k in res[0]}
+            for (ip, _), r in zip(cells, res):
+                for k in loc:
+                    loc[k][ip] += int(r[k])
+            return allreduce_counters_host(loc, "pdsweep", next(_pd_seq))
 
         if pipe.exec_mode == "perdevice":
             return step_perdevice

@@ -121,6 +121,79 @@ def shard_chunk_fn(mesh: Mesh, chunk_fn: Callable, axis: str = "shots"):
     return jax.jit(sharded)
 
 
+def allreduce_counters_host(counts: dict, tag: str, seq: int) -> dict:
+    """Sum per-process integer counter dicts across ALL processes WITHOUT
+    compiling any partitioned program.
+
+    The whole point of exec_mode='perdevice' is to keep multi-chip
+    execution alive on backends whose shard_map partitioner is broken
+    (DIVERGENCES.md "Execution environment") — so the cross-process
+    reduction must not itself depend on a partitioned compile. Primary
+    path: the jax.distributed coordination service's key-value store (the
+    same service that bootstrapped the processes; zero device code). Each
+    process posts its JSON counter dict under a (tag, seq, process) key and
+    folds in every peer's. Fallback when no KV client exists:
+    multihost_utils.process_allgather (one tiny all_gather jit over a
+    (n_proc, n_keys) int array — still never the decode graph).
+
+    `seq` must be a per-call-site monotonically increasing sequence number
+    (key uniqueness across calls); all processes must call with the same
+    tag/seq stream — it is a synchronization point, like any collective.
+    Values may be Python ints or 1-D integer arrays (per-p counter rows).
+    """
+    import json as _json
+
+    nproc = jax.process_count()
+    if nproc == 1:
+        return counts
+    keys = sorted(counts)
+    as_list = {k: np.asarray(counts[k], np.int64).reshape(-1).tolist()
+               for k in keys}
+
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is None:
+        from jax.experimental import multihost_utils
+
+        vec = np.concatenate([np.asarray(as_list[k], np.int64)
+                              for k in keys])
+        allv = np.asarray(multihost_utils.process_allgather(vec))
+        tot = allv.sum(axis=0)
+    else:
+        me = jax.process_index()
+        base = f"qldpc/{tag}/{seq}"
+        blob = _json.dumps([as_list[k] for k in keys])
+        client.key_value_set(f"{base}/{me}", blob)
+        tot = None
+        for pi in range(nproc):
+            b = blob if pi == me else client.blocking_key_value_get(
+                f"{base}/{pi}", 120_000)
+            v = np.concatenate([np.asarray(row, np.int64)
+                                for row in _json.loads(b)])
+            tot = v if tot is None else tot + v
+
+    out = {}
+    o = 0
+    for k in keys:
+        w = len(as_list[k])
+        part = tot[o:o + w]
+        o += w
+        out[k] = (int(part[0]) if np.ndim(counts[k]) == 0
+                  else np.asarray(part, np.int64))
+    return out
+
+
+def local_mesh_rows(mesh: Mesh):
+    """(global_index, device) pairs of THIS process's devices in the mesh's
+    flat order — the rows of a (ndev, ...)-laid-out input this process may
+    address."""
+    me = jax.process_index()
+    return [(i, d)
+            for i, d in enumerate(np.asarray(mesh.devices).reshape(-1))
+            if d.process_index == me]
+
+
 def per_device_multi_chunk_fn(mesh: Mesh, multi_fn: Callable):
     """Per-device-dispatch fallback for shot-sharded execution.
 
@@ -137,14 +210,18 @@ def per_device_multi_chunk_fn(mesh: Mesh, multi_fn: Callable):
     the service — DIVERGENCES.md "Execution environment"), while plain
     single-device jits compile and run fine there. This mode keeps
     multi-chip execution available on backends where the partitioner is
-    broken. Single-process only (remote devices are not addressable for
-    host-side reduction); multi-process meshes need exec_mode='shardmap'.
+    broken.
+
+    Multi-PROCESS meshes: each process dispatches to its LOCAL mesh devices
+    (every process derives the identical global key/n_valid layout from the
+    shared seed, so row i of the inputs is device i's work wherever it
+    lives), then the 9-integer counter vector is summed across processes via
+    allreduce_counters_host — the coordination-service KV store, never a
+    partitioned compile. The decode itself never needs shard_map.
     """
-    devices = list(np.asarray(mesh.devices).reshape(-1))
-    if jax.process_count() > 1:
-        raise ValueError("perdevice execution mode is single-process; "
-                         "multi-process meshes need exec_mode='shardmap'")
+    local = local_mesh_rows(mesh)
     fn = jax.jit(multi_fn)
+    seq = iter(range(1 << 62))
 
     def run(keys, p, n_valids):
         keys = np.asarray(jax.device_get(keys))
@@ -152,9 +229,10 @@ def per_device_multi_chunk_fn(mesh: Mesh, multi_fn: Callable):
         p32 = jnp.float32(p)
         outs = [fn(jax.device_put(keys[i], d), jax.device_put(p32, d),
                    jax.device_put(n_valids[i], d))
-                for i, d in enumerate(devices)]
+                for i, d in local]
         outs = jax.device_get(outs)
-        return {k: sum(int(o[k]) for o in outs) for k in outs[0]}
+        counts = {k: sum(int(o[k]) for o in outs) for k in outs[0]}
+        return allreduce_counters_host(counts, "pdmc", next(seq))
 
     return run
 

@@ -54,10 +54,29 @@ _CHILD = textwrap.dedent("""
     cfg2 = SimConfig(shots=%d, dec_type="MS", dec_iterations=%d, rng_seed=%d,
                      batch_size=%d, mesh_p=2, device="default")
     sweep = simulate_sweep(code.Hx, code.Hz, [%r, 0.06], cfg2)
+
+    # exec_mode='perdevice' on the SAME multi-process mesh: each process
+    # dispatches plain single-device jits to its local device and the
+    # counter vector reduces through the coordination-service KV store —
+    # no shard_map / partitioned compile anywhere (the r4 verdict's
+    # missing fallback for multi-HOST pods on backends whose partitioner
+    # hangs). Counters must be bit-exact by the RNG tile contract.
+    cfg_pd = SimConfig(shots=%d, dec_type="MS", dec_iterations=%d,
+                       rng_seed=%d, batch_size=%d, mesh=make_mesh(),
+                       device="default", exec_mode="perdevice")
+    r_pd = simulate_p(code.Hx, code.Hz, %r, cfg_pd)
+    cfg_pds = SimConfig(shots=%d, dec_type="MS", dec_iterations=%d,
+                        rng_seed=%d, batch_size=%d, mesh_p=2,
+                        device="default", exec_mode="perdevice")
+    sweep_pd = simulate_sweep(code.Hx, code.Hz, [%r, 0.06], cfg_pds)
     with open(os.environ["QLDPC_MH_OUT"] + str(jax.process_index()), "w") as f:
         json.dump({"single": r.counters,
-                   "sweep": [s.counters for s in sweep]}, f)
+                   "sweep": [s.counters for s in sweep],
+                   "single_pd": r_pd.counters,
+                   "sweep_pd": [s.counters for s in sweep_pd]}, f)
 """ % (_REPO, _SHOTS, _ITERS, _SEED, _BATCH, _P,
+       _SHOTS, _ITERS, _SEED, _BATCH, _P,
+       _SHOTS, _ITERS, _SEED, _BATCH, _P,
        _SHOTS, _ITERS, _SEED, _BATCH, _P))
 
 
@@ -110,6 +129,10 @@ def test_two_process_counters_match_single_process(tmp_path):
     refs = [simulate_p(code.Hx, code.Hz, pT, cfg, p_index=i)
             for i, pT in enumerate([_P, 0.06])]
     assert c0["sweep"] == [r.counters for r in refs]
+
+    # multi-process exec_mode='perdevice' (shard_map-free): bit-exact too
+    assert c0["single_pd"] == ref.counters
+    assert c0["sweep_pd"] == [r.counters for r in refs]
 
 
 def test_multihost_init_noop_without_context(monkeypatch):
