@@ -15,12 +15,16 @@ arithmetic + the per-tile key schedule). Two levers cut it down:
     any fixed bijection valid). Quantizing thresholds to 2^-16 would bias
     the effective p by up to 2^-16/ (p/3) relative; instead each tile draws
     DITHERED thresholds t = floor(q*2^16) + Bernoulli(frac(q*2^16)) from
-    its own tile key, making E[threshold] = q*2^16 EXACT — the bias becomes
-    a per-tile variance contribution of relative size ~2^-16/(q) on q,
-    negligible against shot noise at every p (for p < 3*2^-16 the X/Y/Z
-    sub-thresholds may collide after dithering, slightly distorting the
-    X:Y:Z JOINT split while keeping each marginal exact — at such p errors
-    are ~absent altogether).
+    its own tile key — t1 (p/3), t2 (2p/3 = the err_x marginal) and the
+    err_z interval WIDTH (t3 := t1 + w), making BOTH marginals
+    E[t2] and E[w] exact at every p — the quantization bias becomes a
+    per-tile variance contribution of relative size ~2^-16/q, negligible
+    against shot noise. For p < 3*2^-16 the sub-thresholds' 16-bit bases
+    collide and dithering slightly distorts the X:Y:Z JOINT split (the
+    marginals stay exact by construction); the analytic envelope and a
+    chi-square acceptance test live in tests/test_channel.py
+    (test_hw_sampler_joint_split_*). At such p errors are ~absent
+    altogether.
 
 Semantics otherwise match sample_depolarizing (channel/depolarizing.py):
 one draw per qubit, err_x = draw < t(2p/3), err_z = t(p/3) <= draw < t(p).
@@ -57,18 +61,31 @@ def _thresholds32(p):
 
 
 def _dithered_thresholds16(keys, p):
-    """Per-tile dithered u16 thresholds, (n_tiles, 3) int32.
+    """Per-tile dithered u16 thresholds (t1, t2, t3), (n_tiles, 3) int32.
 
-    t_tile = (T32 >> 16) + Bernoulli((T32 & 0xFFFF) / 2^16), drawn from the
-    tile's threefry key — E[t_tile] = T32 / 2^16 exactly, and the draw is a
-    pure function of the GLOBAL tile key (layout-invariant)."""
+    Each quantity q is dithered as floor(q*2^16) + Bernoulli(frac(q*2^16))
+    from the tile's threefry key, so E[q_tile] = q * 2^16 EXACTLY, and the
+    draw is a pure function of the GLOBAL tile key (layout-invariant).
+
+    The three dithered quantities are t1 (the p/3 threshold), t2 (the 2p/3
+    threshold — the err_x marginal), and the WIDTH w of the err_z interval
+    (t3 := t1 + w with E[w] = (T32_z - T32_1)/2^16): dithering the width
+    instead of the t3 endpoint guarantees t3 >= t1 for every dither
+    outcome, so the err_z marginal E[t3 - t1] = E[w] is exact at ALL p.
+    (Dithering both endpoints independently could invert them whenever
+    their 16-bit bases collide — p < ~1.5 * 2^-16 — which would bias the
+    err_z marginal by up to ~P(t1 > t3) * 2^-16; the joint X:Y:Z split in
+    that regime remains slightly distorted either way, see the module
+    docstring and DIVERGENCES.md.)"""
     T32 = _thresholds32(p)
-    base = (T32 >> 16).astype(jnp.int32)                      # (3,)
-    frac = (T32 & jnp.uint32(0xFFFF)).astype(jnp.uint32)      # (3,)
+    quant = jnp.stack([T32[0], T32[1], T32[2] - T32[0]])      # t1, t2, w
+    base = (quant >> 16).astype(jnp.int32)                    # (3,)
+    frac = (quant & jnp.uint32(0xFFFF)).astype(jnp.uint32)    # (3,)
 
     def per_tile(k):
         d = jax.random.bits(jax.random.wrap_key_data(k), (3,), jnp.uint32)
-        return base + ((d & jnp.uint32(0xFFFF)) < frac).astype(jnp.int32)
+        t = base + ((d & jnp.uint32(0xFFFF)) < frac).astype(jnp.int32)
+        return jnp.stack([t[0], t[1], t[0] + t[2]])
 
     return jax.vmap(per_tile)(keys)
 

@@ -213,6 +213,58 @@ def test_gf2_elim_pallas_tags_solve():
         assert (x_bits == x_true).all()
 
 
+def test_gf2_elim_pallas_multi_superblock():
+    """B > G*B_blk exercises the (nb, nw) grid path and the regroup() lane
+    interleave, and a non-default window (32) makes nw > 2 so the
+    per-window early exit runs over several windows (round-4 ADVICE #1:
+    these paths previously had no regression test). Every lane — including
+    the padded tail of the last superblock — must reproduce the greedy
+    rank-increase basis selection and a solvable factorization."""
+    import jax.numpy as jnp
+    from qldpcsim_tpu.decoders import osd as osd_mod
+    from qldpcsim_tpu.ops.gf2_elim_pallas import make_eliminate_pallas
+
+    rng = np.random.default_rng(41)
+    H = np.asarray(get_code("lp04_0").Hz) % 2
+    st = osd_mod.OSDStatic.build(H)
+    n, r, mW, rW = st.n, st.r, st.mW, st.rW
+    B = 24  # with B_blk=8 and ilp G=2: nb=2 superblocks, 8 pad lanes
+    perms = np.stack([rng.permutation(n) for _ in range(B)]).astype(np.int32)
+    colsP = jnp.asarray(st.cols_packed)[perms]
+    elim = make_eliminate_pallas(n, r, mW, rW, B_blk=8, interpret=True,
+                                 window=32)
+    tags, pivots, sel = (np.asarray(a) for a in elim(colsP))
+    assert sel.shape == (B, n) and pivots.shape == (B, r)
+
+    from qldpcsim_tpu import gf2
+    for b in range(B):
+        Hp = H[:, perms[b]]
+        cis = []
+        for j in range(n):
+            if gf2.rank(Hp[:, cis + [j]]) > len(cis):
+                cis.append(j)
+                if len(cis) == r:
+                    break
+        sel_ref = np.zeros(n, bool)
+        sel_ref[cis] = True
+        assert (sel[b] == sel_ref).all(), b
+        # factorization solves H_sel x = s (the OSD candidate-stage
+        # contract) on this lane
+        x_true = rng.integers(0, 2, size=r)
+        s = (Hp[:, cis] @ x_true) % 2
+        sP = np.zeros(mW, np.uint32)
+        for i in np.nonzero(s)[0]:
+            sP[i >> 5] |= np.uint32(1) << np.uint32(i & 31)
+        x = np.zeros(rW, np.uint32)
+        for k in range(r):
+            pv = pivots[b, k]
+            if pv >= 0 and (sP[pv >> 5] >> np.uint32(pv & 31)) & 1:
+                x ^= tags[b, k]
+        x_bits = np.array([(x[k >> 5] >> np.uint32(k & 31)) & 1
+                           for k in range(r)])
+        assert (x_bits == x_true).all(), b
+
+
 def test_seq_qc_kernel_agrees_with_seq():
     """Serial-schedule QC kernel vs the XLA row-sequential path: identical
     update math and per-row exit granularity (both incremental-posterior,
