@@ -28,6 +28,14 @@ import jax.numpy as jnp
 
 from qldpcsim_tpu.decoders.common import DecodeResult
 
+import os
+
+# Difficulty-ordered refinement buffers (see the compaction key comment in
+# make_cascade). Default on: the ordering rides the gather the cascade
+# already pays. QLDPC_CASCADE_ORDER=0 restores pure lane-ascending
+# compaction (counters are bit-exact either way).
+_ORDER_BY_WEIGHT = os.environ.get("QLDPC_CASCADE_ORDER", "1") != "0"
+
 
 def default_stages(max_iter: int, batch_hint: int = 4096) -> List[Tuple[int, float]]:
     """Stage plan (iters, capacity fraction of the original batch). Tuned on
@@ -83,7 +91,21 @@ def make_cascade(decoder_factory, graph, cfg, layers,
             n_failed = jnp.sum(~conv)
 
             def fast(_):
-                order = jnp.argsort(conv, stable=True)[:cap]
+                # Compaction key: failed lanes first; among them, order by
+                # syndrome weight so the refinement buffer's 128-lane
+                # blocks hold stragglers of similar depth (the buffer
+                # gather/scatter is paid either way, so difficulty
+                # ordering here is free — unlike whole-chunk sorting,
+                # which measured an 18% permute tax,
+                # docs/PERFORMANCE.md). Any order is counter-bit-exact:
+                # per-shot decodes are lane-independent.
+                if _ORDER_BY_WEIGHT:
+                    key = jnp.where(conv, jnp.float32(1e9),
+                                    jnp.sum(syn_cur, axis=1,
+                                            dtype=jnp.float32))
+                    order = jnp.argsort(key, stable=True)[:cap]
+                else:
+                    order = jnp.argsort(conv, stable=True)[:cap]
                 sub_syn = syn_cur[order]
                 r = decs[level](sub_syn, p)
                 sub = refine(level + 1, sub_syn,

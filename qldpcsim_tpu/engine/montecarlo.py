@@ -130,6 +130,16 @@ class SimConfig:
                                   # dispatch latency (large over the remote
                                   # TPU tunnel); counters are summed on device
                                   # so a G-chunk group costs ONE round trip.
+    sort_window: int = -1         # difficulty-ordered shot blocking: sort
+                                  # each `sort_window`-lane window of a
+                                  # chunk by total syndrome weight before
+                                  # decoding, so 128-lane kernel blocks hold
+                                  # shots of similar iteration count (a
+                                  # block runs to its slowest lane). 0 =
+                                  # off; -1 = auto (on for deep iterative
+                                  # decoders on the TPU path); counters are
+                                  # bit-exact either way (_sort_records).
+                                  # Env override: QLDPC_SORT_WINDOW.
 
     def decoder_config(self) -> DecoderConfig:
         return DecoderConfig(
@@ -304,6 +314,26 @@ class ShotPipeline:
         self.tile = _tile_size(self.batch, self.per_dev)
         self.tiles_per_dev = self.per_dev // self.tile
         self.tiles_per_chunk = self.batch // self.tile
+        # Difficulty-ordered shot blocking (see _sort_records). Auto: on
+        # for deep iterative decoders on the TPU path (where the permute
+        # rides the MXU and 128-lane blocks idle on stragglers), off
+        # elsewhere; windows must tile the per-device chunk.
+        sw = cfg.sort_window
+        env_sw = os.environ.get("QLDPC_SORT_WINDOW")
+        if env_sw is not None:
+            sw = int(env_sw)
+        if sw < 0:
+            # Auto = OFF: measured NEGATIVE on the flagship (v5e, r5) —
+            # the windowed one-hot permute costs ~18% while an IDEAL free
+            # sort bought 0% (iteration dispersion at p=0.05 is too small
+            # for stage-1 block savings; docs/PERFORMANCE.md "Negative
+            # results"). Kept as tested opt-in machinery; the free
+            # variant — difficulty-ordered CASCADE buffers — is on by
+            # default instead (decoders/cascade.py).
+            sw = 0
+        if sw and (self.per_dev % sw or sw % 128):
+            sw = 0  # window must tile the chunk in whole 128-lane blocks
+        self.sort_window = sw
         if self.use_osd:
             # Per-chunk deferral capacity: decoder-failed shots are NOT
             # OSD-processed in their own chunk — their records are compacted
@@ -369,6 +399,17 @@ class ShotPipeline:
         self.dispatch_chunks = cfg.dispatch_chunks or max(
             1, min(128, 524288 // max(1, self.batch)))
 
+    @staticmethod
+    def _platform_is_tpu(dcfg) -> bool:
+        if dcfg.platform in ("tpu", "axon"):
+            return True
+        if dcfg.platform != "auto":
+            return False
+        try:
+            return jax.default_backend().lower() in ("tpu", "axon")
+        except Exception:
+            return False
+
     def device_ctx(self):
         """Context manager pinning execution to this pipeline's device
         (no-op when running on the session default)."""
@@ -406,6 +447,48 @@ class ShotPipeline:
         eff_z = jnp.logical_xor(word_z, fz.astype(bool))
         return eff_x, eff_z, sy_z, sy_x
 
+    def _sort_records(self, err_x, err_z, sy_z, sy_x, valid):
+        """Difficulty-ordered shot blocking: permute the chunk's records so
+        shots of similar decode difficulty share 128-lane kernel blocks.
+
+        A batched while_loop block runs to its SLOWEST lane's iteration
+        count, so at p=0.05 virtually every block drags its 127 easy lanes
+        to the cap (P[block has a straggler] ~ 1). Sorting each
+        `sort_window`-lane window by total syndrome weight — the difficulty
+        proxy — lets easy blocks exit early. ONE shared descending key
+        covers both decode sides, and records stay PERMUTED through decode,
+        OSD and classification (counters are order-invariant integer sums,
+        and each shot's decode is lane-independent, so every counter is
+        bit-exact vs the unsorted pipeline — test_sort_window_bit_exact).
+
+        The permutation is applied as a block-diagonal one-hot bf16 matmul
+        over the concatenated 0/1 records (exact; row gathers measure
+        ~2 GB/s on this backend while the windowed one-hot rides the MXU).
+        The validity mask rides along as an extra column (padding lanes
+        carry key -1 and sink to their window's tail)."""
+        B = err_x.shape[0]
+        W = min(self.sort_window, B)
+        nw = B // W
+        bf16, f32 = jnp.bfloat16, jnp.float32
+        w_tot = jnp.sum(sy_z, axis=1) + jnp.sum(sy_x, axis=1)
+        key = jnp.where(valid, w_tot.astype(jnp.int32), -1)
+        order = jnp.argsort(-key.reshape(nw, W), axis=1)        # (nw, W)
+        iota = jnp.arange(W, dtype=jnp.int32)
+        onehot = (order[:, :, None] == iota[None, None, :]).astype(bf16)
+        data = jnp.concatenate(
+            [err_x.astype(bf16), err_z.astype(bf16),
+             sy_z.astype(bf16), sy_x.astype(bf16),
+             valid[:, None].astype(bf16)], axis=1)
+        F = data.shape[1]
+        out = jnp.matmul(onehot, data.reshape(nw, W, F),
+                         preferred_element_type=f32).reshape(B, F)
+        n, mz = self.n, sy_z.shape[1]
+        return (out[:, :n].astype(err_x.dtype),
+                out[:, n:2 * n].astype(err_z.dtype),
+                out[:, 2 * n:2 * n + mz],
+                out[:, 2 * n + mz:F - 1],
+                out[:, F - 1] > 0.5)
+
     def _chunk_body(self, tile_keys, p, n_valid):
         """One per-device chunk: sample + decode [+ OSD] + classify -> int32
         counters. Self-contained (OSD failures are fully resolved in-chunk);
@@ -415,18 +498,21 @@ class ShotPipeline:
         tile_keys: (tiles_per_dev, 2) uint32, one key per global RNG tile.
         """
         err_x, err_z, sy_z, sy_x = self._sample_chunk(tile_keys, p)
+        valid = jnp.arange(err_x.shape[0]) < n_valid
+        if self.sort_window:
+            err_x, err_z, sy_z, sy_x, valid = self._sort_records(
+                err_x, err_z, sy_z, sy_x, valid)
         prior = p / 3.0  # reference prior (landmine L3, simulator.py:278-279)
         res_x = self.dec_x(sy_z, prior)
         res_z = self.dec_z(sy_x, prior)
         ex_hat, ez_hat = res_x.e_hat, res_z.e_hat
         if self.use_osd:
-            valid = jnp.arange(ex_hat.shape[0]) < n_valid
             ex_hat = self._apply_osd(self.osd_x, ex_hat, res_x.posterior,
                                      sy_z, (~res_x.converged) & valid)
             ez_hat = self._apply_osd(self.osd_z, ez_hat, res_z.posterior,
                                      sy_x, (~res_z.converged) & valid)
         return self._count(err_x, err_z, ex_hat, ez_hat,
-                           sy_z, sy_x, res_x.n_iter, res_z.n_iter, n_valid)
+                           sy_z, sy_x, res_x.n_iter, res_z.n_iter, valid)
 
     def _apply_osd(self, osd, e_hat, post, syn, failed):
         """Windowed OSD over the `failed` shots of a batch, fully on device.
@@ -480,11 +566,14 @@ class ShotPipeline:
         possible at very high p — are OSD-processed in-chunk, so counters
         never depend on the failure rate."""
         err_x, err_z, sy_z, sy_x = self._sample_chunk(tile_keys, p)
+        B = err_x.shape[0]
+        valid = jnp.arange(B) < n_valid
+        if self.sort_window:
+            err_x, err_z, sy_z, sy_x, valid = self._sort_records(
+                err_x, err_z, sy_z, sy_x, valid)
         prior = p / 3.0
         res_x = self.dec_x(sy_z, prior)
         res_z = self.dec_z(sy_x, prior)
-        B = err_x.shape[0]
-        valid = jnp.arange(B) < n_valid
         failed_u = (~(res_x.converged & res_z.converged)) & valid
         F = self._defer_cap
         # cumsum-scatter compaction (lane-ascending, same set a stable
@@ -576,9 +665,7 @@ class ShotPipeline:
         return {k: counts[k] + extra[k] for k in counts}
 
     def _count(self, err_x, err_z, ex_hat, ez_hat, sy_z, sy_x,
-               it_x, it_z, n_valid):
-        B = err_x.shape[0]
-        valid = jnp.arange(B) < n_valid
+               it_x, it_z, valid):
         counts = classify_batch(self.classifier, err_x, err_z, ex_hat, ez_hat,
                                 sy_z, sy_x, valid=valid)
         counts["nIterAccX"] = jnp.sum(jnp.where(valid, it_x, 0), dtype=jnp.int32)

@@ -378,11 +378,31 @@ def make_qc_decoder(st: QCStructure, cfg: DecoderConfig,
     # more than the per-op overhead they save), kept opt-in for other
     # targets (QLDPC_QC_VEC=1; MS flooding/iter-check only).
     vectorized = os.environ.get("QLDPC_QC_VEC", "0") == "1"
-    kernel = _make_kernel(st, layer_groups, float(cfg.beta),
-                          int(cfg.max_iter), B_blk, kind=kind.upper(),
-                          eps=float(cfg.eps),
-                          check_every=getattr(cfg, "qc_check_every", "iter"),
-                          dtype=dtype, vectorized=vectorized)
+    # Slot-stacked FLOODING kernel (ops/flood_qc_pallas.py): every
+    # transcendental runs once over all S slots instead of per slot —
+    # default for flooding BP (transcendental-bound per-slot CN update);
+    # QLDPC_QC_STACKED=0 opts out, =1 forces it for MS flooding too.
+    stacked_env = os.environ.get("QLDPC_QC_STACKED", "")
+    use_stacked = (sched == "F"
+                   and getattr(cfg, "qc_check_every", "iter") == "iter"
+                   and stacked_env != "0"
+                   and (kind.upper() == "BP" or stacked_env == "1"))
+    if use_stacked:
+        from qldpcsim_tpu.ops.flood_qc_pallas import (
+            make_flood_stacked_kernel, uniform_degree)
+
+        use_stacked = uniform_degree(st) is not None
+    if use_stacked:
+        kernel = make_flood_stacked_kernel(
+            st, float(cfg.beta), int(cfg.max_iter), B_blk,
+            kind=kind.upper(), eps=float(cfg.eps), dtype=dtype)
+    else:
+        kernel = _make_kernel(st, layer_groups, float(cfg.beta),
+                              int(cfg.max_iter), B_blk, kind=kind.upper(),
+                              eps=float(cfg.eps),
+                              check_every=getattr(cfg, "qc_check_every",
+                                                  "iter"),
+                              dtype=dtype, vectorized=vectorized)
 
     @functools.partial(jax.jit, static_argnames=())
     def _run(syn_T, lch):

@@ -419,6 +419,33 @@ def test_checkpoint_id_pins_code_layout_and_decoder_knobs(tmp_path):
     assert n_ckpts() == 7
 
 
+def test_sort_window_bit_exact():
+    """Difficulty-ordered shot blocking (_sort_records) must not change any
+    counter: per-shot decode results are lane-independent and counters are
+    order-invariant integer sums, so sorting is pure block densification.
+    Covers the plain path and the OSD-deferral path (records permuted
+    before compaction), plus a partial final chunk (validity column rides
+    the permutation)."""
+    code = get_code("lp04_0")
+    base = dict(shots=1500, dec_type="MS", dec_iterations=50, rng_seed=21,
+                batch_size=512, dispatch_chunks=2)
+    r_sorted = simulate_p(code.Hx, code.Hz, 0.05,
+                          SimConfig(sort_window=256, **base))
+    r_plain = simulate_p(code.Hx, code.Hz, 0.05,
+                         SimConfig(sort_window=0, **base))
+    assert r_sorted.counters == r_plain.counters
+    assert r_sorted.avg_iterations_x == r_plain.avg_iterations_x
+    assert r_sorted.avg_iterations_z == r_plain.avg_iterations_z
+
+    osd = dict(shots=1024, dec_type="BP", dec_iterations=16, rng_seed=9,
+               batch_size=512, osd_order=1, dispatch_chunks=2)
+    r_s = simulate_p(code.Hx, code.Hz, 0.07,
+                     SimConfig(sort_window=256, **osd))
+    r_p = simulate_p(code.Hx, code.Hz, 0.07, SimConfig(sort_window=0, **osd))
+    assert r_s.counters == r_p.counters
+    assert r_s.avg_iterations_x == r_p.avg_iterations_x
+
+
 def test_group_cascade_bit_exact(monkeypatch):
     """The group-deferred cascade (head decode in-chunk, dense group-level
     refinement windows) must reproduce the in-chunk cascade counters
