@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--window", type=int, default=128)
     ap.add_argument("--bblk", type=int, default=128)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--panel", type=int, default=0,
+                    help="0 = r4 shot-group-ILP kernel; >0 = panel-ILP "
+                         "kernel (ops/gf2_elim_panel_pallas.py) with this "
+                         "panel width")
     args = ap.parse_args()
 
     import jax
@@ -40,11 +44,17 @@ def main() -> None:
     from qldpcsim_tpu.codes.library import get_code
     from qldpcsim_tpu.decoders import osd as osd_mod
     from qldpcsim_tpu.ops.gf2_elim_pallas import make_eliminate_pallas
+    from qldpcsim_tpu.ops.gf2_elim_panel_pallas import make_eliminate_panel
 
     H = np.asarray(get_code(args.code).Hz)
     st = osd_mod.OSDStatic.build(H)
-    elim = make_eliminate_pallas(st.n, st.r, st.mW, st.rW,
-                                 window=args.window, B_blk=args.bblk)
+    if args.panel:
+        elim = make_eliminate_panel(st.n, st.r, st.mW, st.rW,
+                                    window=args.window, B_blk=args.bblk,
+                                    panel=args.panel)
+    else:
+        elim = make_eliminate_pallas(st.n, st.r, st.mW, st.rW,
+                                     window=args.window, B_blk=args.bblk)
     rng = np.random.default_rng(0)
     perms = np.stack([
         [rng.permutation(st.n) for _ in range(args.B)]

@@ -597,13 +597,43 @@ class ShotPipeline:
                                       dtype=jnp.int32)
         counts["nIterAccZ"] = jnp.sum(jnp.where(valid, res_z.n_iter, 0),
                                       dtype=jnp.int32)
+        # Deferred-record extraction as one-hot MXU matmuls instead of row
+        # gathers: TPU row gathers measure ~2 GB/s on this backend while a
+        # (F, B) @ (B, cols) one-hot matmul is effectively free (the r4
+        # group-cascade lesson, docs/PERFORMANCE.md). 0/1 payloads ride
+        # ONE bf16 matmul (exact); the two f32 posteriors ride an f32
+        # one-hot matmul (also exact: a one-hot row picks a single term).
         i8 = jnp.int8
+        bf16, f32 = jnp.bfloat16, jnp.float32
+        onehot = (didx[:, None] == jnp.arange(B, dtype=jnp.int32)[None, :])
+        data01 = jnp.concatenate(
+            [err_x.astype(bf16), err_z.astype(bf16),
+             sy_z.astype(bf16), sy_x.astype(bf16),
+             res_x.e_hat.astype(bf16), res_z.e_hat.astype(bf16),
+             res_x.converged[:, None].astype(bf16),
+             res_z.converged[:, None].astype(bf16)], axis=1)
+        picked = jnp.dot(onehot.astype(bf16), data01,
+                         preferred_element_type=f32)
+        post2 = jnp.dot(onehot.astype(f32),
+                        jnp.concatenate([res_x.posterior, res_z.posterior],
+                                        axis=1),
+                        preferred_element_type=f32)
+        n = err_x.shape[1]
+        mz, mx = sy_z.shape[1], sy_x.shape[1]
+        cols = {}
+        o = 0
+        for name, width in (("err_x", n), ("err_z", n), ("sy_z", mz),
+                            ("sy_x", mx), ("ex", n), ("ez", n),
+                            ("cx", 1), ("cz", 1)):
+            cols[name] = picked[:, o:o + width]
+            o += width
         defer = dict(
-            err_x=err_x[didx], err_z=err_z[didx],
-            sy_z=sy_z[didx].astype(i8), sy_x=sy_x[didx].astype(i8),
-            ex=res_x.e_hat[didx], ez=res_z.e_hat[didx],
-            px=res_x.posterior[didx], pz=res_z.posterior[didx],
-            cx=res_x.converged[didx], cz=res_z.converged[didx],
+            err_x=cols["err_x"].astype(err_x.dtype),
+            err_z=cols["err_z"].astype(err_z.dtype),
+            sy_z=cols["sy_z"].astype(i8), sy_x=cols["sy_x"].astype(i8),
+            ex=cols["ex"].astype(i8), ez=cols["ez"].astype(i8),
+            px=post2[:, :n], pz=post2[:, n:],
+            cx=cols["cx"][:, 0] > 0.5, cz=cols["cz"][:, 0] > 0.5,
             dv=dvalid,
         )
         return counts, defer

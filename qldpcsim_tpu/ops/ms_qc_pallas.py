@@ -379,14 +379,16 @@ def make_qc_decoder(st: QCStructure, cfg: DecoderConfig,
     # targets (QLDPC_QC_VEC=1; MS flooding/iter-check only).
     vectorized = os.environ.get("QLDPC_QC_VEC", "0") == "1"
     # Slot-stacked FLOODING kernel (ops/flood_qc_pallas.py): every
-    # transcendental runs once over all S slots instead of per slot —
-    # default for flooding BP (transcendental-bound per-slot CN update);
-    # QLDPC_QC_STACKED=0 opts out, =1 forces it for MS flooding too.
-    stacked_env = os.environ.get("QLDPC_QC_STACKED", "")
+    # transcendental runs once over all S slots instead of per slot.
+    # Measured NEGATIVE on v5e (config-5 micro, LP118 BP-F-30 p=0.03:
+    # 3.38 vs 2.73 ms/chunk decode-only — the 4D reshape/relayouts and
+    # slot concats cost more than the per-op overhead they save, the same
+    # lesson as the r3 per-row stacking). OPT-IN via QLDPC_QC_STACKED=1
+    # for targets with cheaper relayouts; values agree with the per-slot
+    # kernel (MS bit-exact, BP same statistical class).
     use_stacked = (sched == "F"
                    and getattr(cfg, "qc_check_every", "iter") == "iter"
-                   and stacked_env != "0"
-                   and (kind.upper() == "BP" or stacked_env == "1"))
+                   and os.environ.get("QLDPC_QC_STACKED") == "1")
     if use_stacked:
         from qldpcsim_tpu.ops.flood_qc_pallas import (
             make_flood_stacked_kernel, uniform_degree)

@@ -160,7 +160,7 @@ def test_osd_fused_matches_host_compaction():
             e_hats.append(jnp.asarray(e))
         counts = jax.device_get(pipe._count(
             err_x, err_z, e_hats[0], e_hats[1], sy_z, sy_x,
-            res_x.n_iter, res_z.n_iter, jnp.int32(n_valid)))
+            res_x.n_iter, res_z.n_iter, jnp.asarray(lane_valid)))
         counts = {k: int(v) for k, v in counts.items()}
         totals = counts if totals is None else {
             k: totals[k] + counts[k] for k in counts}
@@ -210,7 +210,8 @@ def test_osd_defer_overflow_path():
         e_hats.append(jnp.asarray(e))
     counts = jax.device_get(pipe._count(
         err_x, err_z, e_hats[0], e_hats[1], sy_z, sy_x,
-        res_x.n_iter, res_z.n_iter, jnp.int32(batch)))
+        res_x.n_iter, res_z.n_iter,
+        jnp.ones(batch, bool)))
     expected = {k: int(v) for k, v in counts.items()}
     for k, v in r.counters.items():
         assert expected[k] == v, (k, expected[k], v)
