@@ -61,10 +61,30 @@ def default_stages(max_iter: int, batch_hint: int = 4096) -> List[Tuple[int, flo
 
 def make_cascade(decoder_factory, graph, cfg, layers,
                  stages: Optional[List[Tuple[int, float]]] = None):
-    """Wrap decoder_factory(graph, cfg, layers) with cascaded compaction.
+    """Wrap decoder_factory(graph, cfg, layers) with cascaded WINDOWED
+    compaction.
 
-    stages: [(iters, cap_frac), ...]; the first stage runs on the full batch
-    (its cap_frac is ignored), the last stage must use cfg.max_iter.
+    stages: [(iters, window_frac), ...]; the first stage runs on the full
+    batch (its frac is ignored), the last stage must use cfg.max_iter.
+
+    Stage k >= 1 compacts the currently-unconverged lanes to the front
+    (difficulty-ordered — see below) and re-decodes them from scratch at
+    the deeper cap in FIXED-SIZE WINDOWS inside a lax.while_loop: zero
+    failures cost zero trips, and a failure spike just runs more trips of
+    the one compiled window shape. This replaces the r4 design's
+    fixed-capacity buffer with a lax.cond overflow guard that re-decoded
+    the WHOLE current set at full depth whenever a stage's tail exceeded
+    its capacity — which at high p (e.g. Tanner MS-serial at p >= 0.07,
+    where ~20%+ of shots never converge) was every chunk, collapsing
+    throughput ~6x (the r4 verdict's config-4 tail item). Windowing is
+    capacity-independent, so the stage plan only tunes throughput, never
+    triggers a cliff.
+
+    MS/BP are deterministic functions of the syndrome, so a from-scratch
+    re-decode reproduces the continued trajectory exactly: results,
+    posteriors and iteration counts are bit-identical to a single
+    full-depth decode (tests/test_tworound.py), and counters are
+    invariant to the window partition.
     """
     if stages is None:
         stages = default_stages(cfg.max_iter)
@@ -74,60 +94,60 @@ def make_cascade(decoder_factory, graph, cfg, layers,
 
     decs = [decoder_factory(graph, dataclasses.replace(cfg, max_iter=it),
                             layers=layers) for it, _ in stages]
-    dec_full = decs[-1]
 
     def decode(syndromes, p):
         B = syndromes.shape[0]
         syn = jnp.asarray(syndromes)
 
-        def refine(level, syn_cur, res):
-            """Refine the unconverged tail of `res` (results for syn_cur)
-            using stages[level:]. Returns a result tuple."""
-            if level == len(stages):
-                return res
-            iters_k, frac_k = stages[level]
-            cap = min(syn_cur.shape[0], max(64, int(B * frac_k)))
-            e, it, conv, post = res
-            n_failed = jnp.sum(~conv)
-
-            def fast(_):
-                # Compaction key: failed lanes first; among them, order by
-                # syndrome weight so the refinement buffer's 128-lane
-                # blocks hold stragglers of similar depth (the buffer
-                # gather/scatter is paid either way, so difficulty
-                # ordering here is free — unlike whole-chunk sorting,
-                # which measured an 18% permute tax,
-                # docs/PERFORMANCE.md). Any order is counter-bit-exact:
-                # per-shot decodes are lane-independent.
-                if _ORDER_BY_WEIGHT:
-                    key = jnp.where(conv, jnp.float32(1e9),
-                                    jnp.sum(syn_cur, axis=1,
-                                            dtype=jnp.float32))
-                    order = jnp.argsort(key, stable=True)[:cap]
-                else:
-                    order = jnp.argsort(conv, stable=True)[:cap]
-                sub_syn = syn_cur[order]
-                r = decs[level](sub_syn, p)
-                sub = refine(level + 1, sub_syn,
-                             (r.e_hat, r.n_iter, r.converged, r.posterior))
-                se, sit, sconv, spost = sub
-                return (
-                    e.at[order].set(se),
-                    it.at[order].set(sit),
-                    conv.at[order].set(sconv),
-                    post.at[order].set(spost) if post is not None else None,
-                )
-
-            def slow(_):
-                r = dec_full(syn_cur, p)
-                return (r.e_hat, r.n_iter, r.converged, r.posterior)
-
-            return jax.lax.cond(n_failed <= cap, fast, slow, None)
-
         r0 = decs[0](syn, p)
-        e, it, conv, post = refine(1, syn,
-                                   (r0.e_hat, r0.n_iter, r0.converged, r0.posterior))
-        return DecodeResult(e_hat=e, n_iter=it, converged=conv, posterior=post)
+        e, it, conv, post = r0.e_hat, r0.n_iter, r0.converged, r0.posterior
+
+        for level in range(1, len(stages)):
+            iters_k, frac_k = stages[level]
+            W = min(B, max(64, -(-int(B * frac_k) // 64) * 64))
+            n_pad = -(-B // W) * W
+
+            # Compaction key: failed lanes first; among them, order by
+            # syndrome weight so refinement blocks hold stragglers of
+            # similar depth (the gather is paid either way; whole-chunk
+            # sorting measured an 18% permute tax instead —
+            # docs/PERFORMANCE.md). Any order is counter-bit-exact:
+            # per-shot decodes are lane-independent.
+            if _ORDER_BY_WEIGHT:
+                key = jnp.where(conv, jnp.float32(2e9),
+                                jnp.sum(syn, axis=1, dtype=jnp.float32))
+                order = jnp.argsort(key, stable=True)
+            else:
+                order = jnp.argsort(conv, stable=True)
+            order = jnp.concatenate(
+                [order.astype(jnp.int32),
+                 jnp.full((n_pad - B,), B, jnp.int32)])
+            n_failed = jnp.sum(~conv)
+            has_post = post is not None
+
+            def cond_fn(c):
+                return c[0] < n_failed
+
+            def body(c, level=level, W=W, order=order, n_failed=n_failed):
+                lo, e, it, conv, post = c
+                idx = jax.lax.dynamic_slice(order, (lo,), (W,))
+                wv = (lo + jnp.arange(W)) < n_failed
+                idx = jnp.where(wv, idx, B)      # pad lanes: dropped below
+                r = decs[level](syn[idx], p)
+                e = e.at[idx].set(r.e_hat, mode="drop")
+                it = it.at[idx].set(r.n_iter, mode="drop")
+                conv = conv.at[idx].set(r.converged, mode="drop")
+                if post is not None:
+                    post = post.at[idx].set(r.posterior, mode="drop")
+                return lo + W, e, it, conv, post
+
+            _, e, it, conv, post = jax.lax.while_loop(
+                cond_fn, body,
+                (jnp.int32(0), e, it, conv,
+                 post if has_post else None))
+
+        return DecodeResult(e_hat=e, n_iter=it, converged=conv,
+                            posterior=post)
 
     return decode
 
