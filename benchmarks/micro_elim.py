@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--window", type=int, default=128)
     ap.add_argument("--bblk", type=int, default=128)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--ablate", default="")
     ap.add_argument("--panel", type=int, default=0,
                     help="0 = r4 shot-group-ILP kernel; >0 = panel-ILP "
                          "kernel (ops/gf2_elim_panel_pallas.py) with this "
@@ -51,7 +52,7 @@ def main() -> None:
     if args.panel:
         elim = make_eliminate_panel(st.n, st.r, st.mW, st.rW,
                                     window=args.window, B_blk=args.bblk,
-                                    panel=args.panel)
+                                    panel=args.panel, _ablate=args.ablate)
     else:
         elim = make_eliminate_pallas(st.n, st.r, st.mW, st.rW,
                                      window=args.window, B_blk=args.bblk)

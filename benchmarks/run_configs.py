@@ -83,9 +83,12 @@ def main(argv=None):
         ("4_tanner_ms_serial", "tanner",
          list(np.round(np.linspace(0.01, 0.1, 4), 3)), int(65536 * s), "MS", 30, "S", -1),
         # 5. LP04/LP118, BP + OSD-2 (config 5; >=1e6 shots now that the
-        # deferred group OSD path runs at ~1.4M shots/s warm)
-        ("5_lp04_bp_osd2", "lp04_0", [0.03], int(1048576 * s), "BP", 30, "F", 2),
-        ("5_lp118_bp_osd2", "lp118_0", [0.03], int(2621440 * s), "BP", 30, "F", 2),
+        # deferred group OSD path runs at >1.4M shots/s warm). 99
+        # iterations = the reference CLI default (simulator.py:356);
+        # r5 also measured deeper BP FASTER end-to-end here (fewer OSD
+        # entrants: 1.41M vs 1.32M warm at 30 iters) with better qBLER.
+        ("5_lp04_bp_osd2", "lp04_0", [0.03], int(1048576 * s), "BP", 99, "F", 2),
+        ("5_lp118_bp_osd2", "lp118_0", [0.03], int(2621440 * s), "BP", 99, "F", 2),
     ]
     if args.only:
         prefixes = tuple(x.strip() for x in args.only.split(","))

@@ -124,9 +124,21 @@ def make_cascade(decoder_factory, graph, cfg, layers,
                  jnp.full((n_pad - B,), B, jnp.int32)])
             n_failed = jnp.sum(~conv)
             has_post = post is not None
+            # Data-dependent stage skip, cond-free: an INTERMEDIATE stage
+            # whose input tail exceeds 2/3 of the batch runs zero windows
+            # (its while_loop condition is simply false) and the tail
+            # falls through to the deeper stages. At p beyond threshold
+            # (e.g. Tanner MS-serial p=0.10, 83% never converge) the
+            # shallow refinement can't pay for itself — skipping it is
+            # bit-exact because a converged shot's (e_hat, n_iter) from a
+            # deeper from-scratch decode is identical.
+            if level < len(stages) - 1:
+                gate = n_failed <= (2 * B) // 3
+            else:
+                gate = True
 
             def cond_fn(c):
-                return c[0] < n_failed
+                return (c[0] < n_failed) & gate
 
             def body(c, level=level, W=W, order=order, n_failed=n_failed):
                 lo, e, it, conv, post = c

@@ -216,9 +216,21 @@ def make_osd(H: np.ndarray, order: int, platform: str = "auto"):
 
     _elim_pallas = None
     if _os.environ.get("QLDPC_DISABLE_QC_KERNEL") != "1" and _tpu_backend():
-        from qldpcsim_tpu.ops.gf2_elim_pallas import make_eliminate_pallas
+        # Panel-ILP kernel (ops/gf2_elim_panel_pallas.py): ~1.3x the r4
+        # shot-group-ILP kernel on v5e (bit-identical outputs).
+        # QLDPC_ELIM_PANEL=0 restores the r4 kernel; other values set the
+        # panel width (default 8).
+        pan = int(_os.environ.get("QLDPC_ELIM_PANEL", "8"))
+        if pan > 0:
+            from qldpcsim_tpu.ops.gf2_elim_panel_pallas import (
+                make_eliminate_panel)
 
-        _elim_pallas = make_eliminate_pallas(n, r, mW, rW)
+            _elim_pallas = make_eliminate_panel(n, r, mW, rW, panel=pan)
+        else:
+            from qldpcsim_tpu.ops.gf2_elim_pallas import (
+                make_eliminate_pallas)
+
+            _elim_pallas = make_eliminate_pallas(n, r, mW, rW)
 
     def osd(e_hat, syndromes, posterior):
         B = e_hat.shape[0]
@@ -231,8 +243,12 @@ def make_osd(H: np.ndarray, order: int, platform: str = "auto"):
         reliability = jnp.maximum(prob, 1.0 - prob)
         perm = jnp.argsort(reliability, axis=-1).astype(jnp.int32)  # (B, n)
 
-        # 2. least-reliable basis via one elimination sweep
-        colsP = jnp.asarray(cols_packed)[perm]                      # (B, n, mW)
+        # 2. least-reliable basis via one elimination sweep. (A one-hot
+        # matmul formulation of this permutation — u16-split, f32-exact —
+        # was tried and measured NEGATIVE: the (B, n, n) one-hot
+        # materializes ~300 MB per 256-lane window, swamping the ~2 ms
+        # the row gather costs. docs/PERFORMANCE.md r5 ledger.)
+        colsP = jnp.asarray(cols_packed)[perm]                  # (B, n, mW)
         if _elim_pallas is not None:
             tags, pivots, sel = _elim_pallas(colsP)
         else:

@@ -50,7 +50,11 @@ u32 = jnp.uint32
 
 def make_eliminate_panel(n: int, r: int, mW: int, rW: int,
                          B_blk: int = 128, interpret: bool = False,
-                         window: int = 128, panel: int = 4):
+                         window: int = 128, panel: int = 4,
+                         _ablate: str = ""):
+    # _ablate: benchmarking-only knob ("fold" = stop after phase 1,
+    # "panel" = stop after phase 2) — outputs are WRONG when set; used by
+    # benchmarks/micro_elim.py to attribute kernel time to phases.
     """Build eliminate(colsP (B, n, mW) u32) ->
     (tags (B, r, rW) u32, pivots (B, r) i32, sel (B, n) bool)."""
     from jax.experimental import pallas as pl
@@ -99,106 +103,149 @@ def make_eliminate_panel(n: int, r: int, mW: int, rW: int,
 
         sel_ref[...] = jnp.zeros((W, B_blk), jnp.int32)
 
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (rp, B_blk), 0)
         iota_w32 = jax.lax.broadcasted_iota(jnp.int32, (mW, B_blk), 0) * 32
         iota_t = jax.lax.broadcasted_iota(jnp.int32, (rW, B_blk), 0)
 
-        def step(t, state):
-            bt, pivots, cnt = state
-            j0 = t * P
-            valid = pivots >= 0                              # (rp, B)
-            pw = jnp.maximum(pivots, 0) >> 5
-            ps = (jnp.maximum(pivots, 0) & 31).astype(u32)
+        def make_step(hh):
+          iota_r = jax.lax.broadcasted_iota(jnp.int32, (hh, B_blk), 0)
 
-            # ---- phase 1: P independent folds against the current basis
-            vts = []
-            for c in range(P):
-                v = cols_ref[pl.ds(j0 + c, 1)][0]            # (mW, B)
-                h = jnp.zeros((rp, B_blk), u32)
-                for w in range(mW):
-                    h = jnp.where(
-                        pw == w,
-                        jnp.broadcast_to(v[w][None, :], (rp, B_blk)), h)
-                h = (h >> ps) & u32(1)
-                h = jnp.where(valid, h, u32(0))
-                x = bt & (u32(0) - h)[:, None, :]            # (rp, bw, B)
-                pot = rp
-                while pot > 1:
-                    pot //= 2
-                    x = x[:pot] ^ x[pot:2 * pot]
-                fold = x[0]                                  # (bw, B)
-                vts.append(
-                    jnp.concatenate([v ^ fold[:mW], fold[mW:]]))
+          def step(t, state):
+              bt, pivots, cnt = state
+              j0 = t * P
+              valid = pivots >= 0                              # (rp, B)
+              pw = jnp.maximum(pivots, 0) >> 5
+              ps = (jnp.maximum(pivots, 0) & 31).astype(u32)
 
-            # ---- phase 2: sequential intra-panel RREF + pivot finds
-            cnt_i = cnt.astype(jnp.int32)                    # (1, B)
-            newpiv, upds, slots = [], [], []
-            for c in range(P):
-                vt = vts[c]
-                for c2 in range(c):
-                    # eliminate earlier panel pivots from this column
-                    b = _bit_at_row2(vt[:mW], newpiv[c2])    # (1, B)
-                    m = (u32(0) - (b & upds[c2].astype(u32)))
-                    vt = vt ^ (m & vts[c2])
-                vb = vt[:mW]
-                nz_w = vb != 0
-                nonzero = jnp.any(nz_w, axis=0, keepdims=True)   # (1, B)
-                low = vb & (u32(0) - vb)
-                bitpos = jax.lax.population_count(
-                    low - u32(1)).astype(jnp.int32)
-                cand = jnp.where(nz_w, iota_w32 + bitpos,
-                                 jnp.int32(1 << 30))
-                piv_c = jnp.where(nonzero,
-                                  jnp.min(cand, axis=0, keepdims=True), 0)
-                upd = nonzero & (cnt_i < r)
-                cnt_c = jnp.minimum(cnt_i, r - 1)
-                selfbit = (u32(1) << (cnt_c.astype(u32) & u32(31)))
-                onehot = jnp.where((iota_t == (cnt_c >> 5)) & upd,
-                                   jnp.broadcast_to(selfbit,
-                                                    (rW, B_blk)), u32(0))
-                vt = vt ^ jnp.concatenate(
-                    [jnp.zeros((mW, B_blk), u32), onehot])
-                # mutual RREF: strip this pivot from EARLIER panel rows
-                for c2 in range(c):
-                    b2 = _bit_at_row2(vts[c2][:mW], piv_c)
-                    m2 = (u32(0) - (b2 & upd.astype(u32)))
-                    vts[c2] = vts[c2] ^ (m2 & vt)
-                vts[c] = vt
-                sel_ref[pl.ds(j0 + c, 1)] = upd.astype(jnp.int32)
-                newpiv.append(piv_c)
-                upds.append(upd)
-                slots.append(cnt_c)
-                cnt_i = cnt_i + upd.astype(jnp.int32)
+              # ---- phase 1: P independent folds against the current basis.
+              # MANUALLY interleaved (levels outer, columns inner): the VPU
+              # is in-order and Mosaic emits ops in trace order, so tracing
+              # one column's whole dependent chain before the next exposes
+              # every op's latency — alternating the chains lets
+              # back-to-back independent ops issue (measured: the
+              # chain-at-a-time formulation bought only 1.3x at P=8).
+              vs = [cols_ref[pl.ds(j0 + c, 1)][0] for c in range(P)]
+              hs = [jnp.zeros((hh, B_blk), u32) for _ in range(P)]
+              for w in range(mW):
+                  for c in range(P):
+                      hs[c] = jnp.where(
+                          pw == w,
+                          jnp.broadcast_to(vs[c][w][None, :], (hh, B_blk)),
+                          hs[c])
+              for c in range(P):
+                  hs[c] = (hs[c] >> ps) & u32(1)
+              for c in range(P):
+                  hs[c] = jnp.where(valid, hs[c], u32(0))
+              xs = [bt & (u32(0) - hs[c])[:, None, :] for c in range(P)]
+              pot = hh
+              while pot > 1:
+                  pot //= 2
+                  xs = [x[:pot] ^ x[pot:2 * pot] for x in xs]
+              vts = [jnp.concatenate([vs[c] ^ xs[c][0][:mW], xs[c][0][mW:]])
+                     for c in range(P)]
 
-            # ---- phase 3: one P-term masked-XOR tree into the state.
-            # Masks from the PRE-panel bt are exact: mutually-RREF panel
-            # rows are zero at each other's pivots, so no insertion
-            # changes an existing row's bit at another new pivot.
-            terms = []
-            for c in range(P):
-                hb = _bit_at_rows(bt[:, :mW, :],
-                                  jnp.broadcast_to(newpiv[c],
-                                                   (rp, B_blk)), mW)
-                hb = jnp.where(valid & upds[c], hb, u32(0))
-                slot = (iota_r == slots[c]) & upds[c]        # (rp, B)
-                cm = (u32(0) - hb) | (u32(0) - slot.astype(u32))
-                terms.append(cm[:, None, :] & vts[c][None, :, :])
-                pivots = jnp.where(slot, newpiv[c], pivots)
-            while len(terms) > 1:
-                nxt = [a ^ b for a, b in zip(terms[0::2], terms[1::2])]
-                if len(terms) % 2:
-                    nxt.append(terms[-1])
-                terms = nxt
-            bt = bt ^ terms[0]
-            return bt, pivots, cnt_i.astype(f32)
+              # ---- phase 2: sequential intra-panel RREF + pivot finds
+              cnt_i = cnt.astype(jnp.int32)                    # (1, B)
+              if _ablate == "fold":
+                  acc = vts[0]
+                  for c in range(1, P):
+                      acc = acc ^ vts[c]
+                  bt = bt ^ (acc[None, :, :] & jnp.uint32(1))
+                  return bt, pivots, (cnt_i + 1).astype(f32)
+              newpiv, upds, slots = [], [], []
+              for c in range(P):
+                  vt = vts[c]
+                  for c2 in range(c):
+                      # eliminate earlier panel pivots from this column
+                      b = _bit_at_row2(vt[:mW], newpiv[c2])    # (1, B)
+                      m = (u32(0) - (b & upds[c2].astype(u32)))
+                      vt = vt ^ (m & vts[c2])
+                  vb = vt[:mW]
+                  nz_w = vb != 0
+                  nonzero = jnp.any(nz_w, axis=0, keepdims=True)   # (1, B)
+                  low = vb & (u32(0) - vb)
+                  bitpos = jax.lax.population_count(
+                      low - u32(1)).astype(jnp.int32)
+                  cand = jnp.where(nz_w, iota_w32 + bitpos,
+                                   jnp.int32(1 << 30))
+                  piv_c = jnp.where(nonzero,
+                                    jnp.min(cand, axis=0, keepdims=True), 0)
+                  upd = nonzero & (cnt_i < r)
+                  cnt_c = jnp.minimum(cnt_i, r - 1)
+                  selfbit = (u32(1) << (cnt_c.astype(u32) & u32(31)))
+                  onehot = jnp.where((iota_t == (cnt_c >> 5)) & upd,
+                                     jnp.broadcast_to(selfbit,
+                                                      (rW, B_blk)), u32(0))
+                  vt = vt ^ jnp.concatenate(
+                      [jnp.zeros((mW, B_blk), u32), onehot])
+                  # mutual RREF: strip this pivot from EARLIER panel rows
+                  for c2 in range(c):
+                      b2 = _bit_at_row2(vts[c2][:mW], piv_c)
+                      m2 = (u32(0) - (b2 & upd.astype(u32)))
+                      vts[c2] = vts[c2] ^ (m2 & vt)
+                  vts[c] = vt
+                  sel_ref[pl.ds(j0 + c, 1)] = upd.astype(jnp.int32)
+                  newpiv.append(piv_c)
+                  upds.append(upd)
+                  slots.append(cnt_c)
+                  cnt_i = cnt_i + upd.astype(jnp.int32)
+
+              # ---- phase 3: one P-term masked-XOR tree into the state.
+              # Masks from the PRE-panel bt are exact: mutually-RREF panel
+              # rows are zero at each other's pivots, so no insertion
+              # changes an existing row's bit at another new pivot.
+              if _ablate == "panel":
+                  return bt, pivots, cnt_i.astype(f32)
+              # (interleaved like phase 1: masks for all P columns built
+              # level-by-level so independent ops alternate in trace order)
+              pvw = [jnp.maximum(newpiv[c], 0) >> 5 for c in range(P)]
+              pvs = [(jnp.maximum(newpiv[c], 0) & 31).astype(u32)
+                     for c in range(P)]
+              hbs = [jnp.zeros((hh, B_blk), u32) for _ in range(P)]
+              for w in range(mW):
+                  for c in range(P):
+                      hbs[c] = jnp.where(pvw[c] == w, bt[:, w, :], hbs[c])
+              cms = []
+              for c in range(P):
+                  hb = (hbs[c] >> pvs[c]) & u32(1)
+                  hb = jnp.where(valid & upds[c], hb, u32(0))
+                  slot = (iota_r == slots[c]) & upds[c]        # (rp, B)
+                  cms.append((u32(0) - hb) | (u32(0) - slot.astype(u32)))
+                  pivots = jnp.where(slot, newpiv[c], pivots)
+              terms = [cms[c][:, None, :] & vts[c][None, :, :]
+                       for c in range(P)]
+              while len(terms) > 1:
+                  nxt = [a ^ b for a, b in zip(terms[0::2], terms[1::2])]
+                  if len(terms) % 2:
+                      nxt.append(terms[-1])
+                  terms = nxt
+              bt = bt ^ terms[0]
+              return bt, pivots, cnt_i.astype(f32)
+
+          return step
 
         live = jnp.any(cnt_ref[...] < r)
 
-        @pl.when(live)
-        def _run():
-            state = (bt_ref[...], piv_ref[...], cnt_ref[...])
-            state = jax.lax.fori_loop(0, W // P, step, state)
-            bt_ref[...], piv_ref[...], cnt_ref[...] = state
+        # STATIC per-window state heights: window w can have inserted at
+        # most (w+1)*W pivots by its end, so its elimination only ever
+        # touches that many state rows — the fold/back-eliminate passes
+        # run on a [0:h] slice of the state with h = pow2ceil((w+1)*W),
+        # one traced variant per distinct height, selected by pl.when on
+        # the (sequential) window id. Rows >= h are untouched zeros, so
+        # results are bit-identical to the full-height sweep.
+        classes = []  # (height, first window, last window + 1)
+        for w in range(nw):
+            h = min(rp, 1 << max(3, (min((w + 1) * W, rp) - 1).bit_length()))
+            if classes and classes[-1][0] == h:
+                classes[-1] = (h, classes[-1][1], w + 1)
+            else:
+                classes.append((h, w, w + 1))
+
+        for hh, lo_w, hi_w in classes:
+            @pl.when(live & (w_id >= lo_w) & (w_id < hi_w))
+            def _run(hh=hh):
+                state = (bt_ref[0:hh], piv_ref[0:hh], cnt_ref[...])
+                state = jax.lax.fori_loop(0, W // P, make_step(hh), state)
+                bt_ref[0:hh], piv_ref[0:hh], cnt_ref[...] = state
 
         @pl.when(w_id == nw - 1)
         def _flush():
