@@ -44,6 +44,55 @@ __all__ = [
 ]
 
 
+def _pallas_platform_ok(cfg) -> bool:
+    """Auto-pick gate for compiled Pallas kernels: TPU execution platforms
+    only (measured wins are TPU-specific and Mosaic kernels do not compile
+    elsewhere); QLDPC_DISABLE_QC_KERNEL=1 opts out of all of them."""
+    import os
+
+    if os.environ.get("QLDPC_DISABLE_QC_KERNEL") == "1":
+        return False
+    if cfg.platform == "cpu":
+        return False
+    if cfg.platform in ("tpu", "axon"):
+        return True
+    import jax
+
+    try:
+        return jax.default_backend().lower() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _try_gh_factory(graph, cfg, eff_layers, kind):
+    """General-H VMEM-resident kernel factory (ops/general_h_pallas.py),
+    or None. Applies to NON-QC codes (the QC kernel wins when structure
+    exists): MS/BP, schedule F/L with contiguous layers, state fits VMEM,
+    TPU platform. impl='gh' forces (raises if unsupported)."""
+    if kind not in ("MS", "BP") or cfg.schedule.upper() not in ("F", "L"):
+        if cfg.impl == "gh":
+            raise ValueError("gh kernel supports MS/BP with schedule F/L")
+        return None
+    if cfg.impl not in ("auto", "gh"):
+        return None
+    if cfg.impl == "auto" and not _pallas_platform_ok(cfg):
+        return None
+    from qldpcsim_tpu.ops.general_h_pallas import make_gh_decoder, supports
+
+    lay = eff_layers if cfg.schedule.upper() == "L" else None
+    if not supports(graph.H, lay):
+        if cfg.impl == "gh":
+            raise ValueError("gh kernel needs contiguous layers and a "
+                             "VMEM-sized incidence (see general_h_pallas"
+                             ".supports)")
+        return None
+
+    def factory(graph2, cfg2, layers=None):
+        return make_gh_decoder(graph2.H, cfg2, layers=layers, kind=kind)
+
+    return factory
+
+
 def _try_qc_factory(graph, cfg, eff_layers, kind):
     """Pallas circulant-lifted kernel factory, or None if not applicable.
 
@@ -59,25 +108,8 @@ def _try_qc_factory(graph, cfg, eff_layers, kind):
         return None
     if cfg.impl not in ("auto", "qc"):
         return None
-    if cfg.impl == "auto":
-        import os
-
-        # Default on TPU backends (measured 2.7x over the XLA mxu path on
-        # the flagship config); QLDPC_DISABLE_QC_KERNEL=1 opts out.
-        # Compiled Pallas kernels are TPU-only, so never auto-pick on CPU.
-        if os.environ.get("QLDPC_DISABLE_QC_KERNEL") == "1":
-            return None
-        if cfg.platform == "cpu":
-            return None
-        import jax
-
-        if cfg.platform == "auto":
-            try:
-                backend = jax.default_backend().lower()
-            except Exception:
-                return None
-            if backend not in ("tpu", "axon"):
-                return None
+    if cfg.impl == "auto" and not _pallas_platform_ok(cfg):
+        return None
     from qldpcsim_tpu.ops.qc import detect_qc, layers_align_blocks
 
     st = detect_qc(graph.H)
@@ -158,14 +190,21 @@ def make_decoder(graph, cfg, layers=None):
     kind = cfg.dec_type.upper()
     if kind in ("MS", "BP"):
         factory = make_ms_decoder if kind == "MS" else make_bp_decoder
-        if cfg.impl in ("auto", "mxu", "seq", "qc"):
+        if cfg.impl in ("auto", "mxu", "seq", "qc", "gh"):
             from qldpcsim_tpu.decoders.bp_mxu import make_bp_mxu_decoder
             from qldpcsim_tpu.decoders import sequential as _seq
 
             eff_layers = layers if layers is not None else _bl(graph.H, cfg.schedule)
             qc_factory = _try_qc_factory(graph, cfg, eff_layers, kind)
+            gh_factory = (None if qc_factory is not None
+                          else _try_gh_factory(graph, cfg, eff_layers, kind))
             if qc_factory is not None:
                 factory = qc_factory
+                layers = eff_layers
+            elif gh_factory is not None:
+                # Non-QC codes: VMEM-resident general-H kernel (static
+                # incidence matmuls; ops/general_h_pallas.py).
+                factory = gh_factory
                 layers = eff_layers
             # Row-sequential path for serial schedules (1-row layers): the
             # incremental-syndrome formulation beats both edge and mxu once

@@ -215,6 +215,8 @@ class DecoderConfig:
                                   # matmul fast path; fp association differs)
                                   # | "seq" (row-sequential, serial schedules)
                                   # | "qc" (Pallas circulant-lifted kernel)
+                                  # | "gh" (Pallas general-H VMEM kernel for
+                                  #   non-QC codes, ops/general_h_pallas.py)
     platform: str = "auto"        # execution platform hint: "auto" | "cpu" |
                                   # "tpu" — gates the Pallas paths (compiled
                                   # kernels are TPU-only)

@@ -128,8 +128,8 @@ def make_gh_decoder(H: np.ndarray, cfg: DecoderConfig,
     f32 = jnp.float32
     bf16 = jnp.bfloat16
 
-    def kernel(syn_ref, lch_ref, g_ref, gt_ref, ht_ref, e_ref, it_ref,
-               conv_ref, post_ref):
+    def kernel(syn_ref, lch_ref, g_ref, gt_ref, ht_ref, pad_ref, e_ref,
+               it_ref, conv_ref, post_ref):
         L_ch = lch_ref[0, 0]
         syn = syn_ref[...]                                   # (B, m)
         syn_sign = 1.0 - 2.0 * syn
@@ -153,15 +153,24 @@ def make_gh_decoder(H: np.ndarray, cfg: DecoderConfig,
             pos = jnp.dot(P, g_ref[:, e0:e1],
                           preferred_element_type=f32)         # (B, El)
             V = (pos - Cl).reshape(-1, cl, dmax)
-            padm = jnp.asarray(pad_edge[a:b])[None, :, :]     # (1, cl, dmax)
+            padm = pad_ref[a:b][None, :, :] > 0.5             # (1, cl, dmax)
             ss = syn_sign[:, a:b]                             # (B, cl)
             if kind == "MS":
                 A = jnp.where(padm, _BIG, jnp.abs(V))
                 neg = jnp.where(padm, 0.0, (V < 0.0).astype(f32))
                 npar = jnp.sum(neg, axis=2)                   # (B, cl)
-                m1 = jnp.min(A, axis=2)                       # (B, cl)
-                A2 = jnp.where(A == m1[:, :, None], _BIG, A)
-                m2 = jnp.min(A2, axis=2)
+                # running (min1, min2) with the reference's value-equality
+                # tie rule: an edge holding the min sees the OTHER equal
+                # minimum as its second min (two equal minima -> (v, v)),
+                # so the extrinsic select below must NOT mask all
+                # min-equal slots at once.
+                m1 = A[:, :, 0]
+                m2 = jnp.full_like(m1, _BIG)
+                for k in range(1, dmax):
+                    a = A[:, :, k]
+                    is_new = a < m1
+                    m2 = jnp.where(is_new, m1, jnp.minimum(m2, a))
+                    m1 = jnp.minimum(m1, a)
                 m1c = jnp.where(m1 >= _BIG, 0.0, m1)
                 m2c = jnp.where(m2 >= _BIG, 0.0, m2)
                 par = npar - 2.0 * jnp.floor(npar * 0.5)
@@ -229,6 +238,7 @@ def make_gh_decoder(H: np.ndarray, cfg: DecoderConfig,
                 pl.BlockSpec((n, E), lambda b: (0, 0)),
                 pl.BlockSpec((E, n), lambda b: (0, 0)),
                 pl.BlockSpec((n, m), lambda b: (0, 0)),
+                pl.BlockSpec((m, dmax), lambda b: (0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((B_blk, n), lambda b: (b, 0)),
@@ -245,7 +255,8 @@ def make_gh_decoder(H: np.ndarray, cfg: DecoderConfig,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit),
             interpret=interpret,
-        )(syn, lch, jnp.asarray(G), jnp.asarray(Gt), jnp.asarray(HT_bf))
+        )(syn, lch, jnp.asarray(G), jnp.asarray(Gt), jnp.asarray(HT_bf),
+          jnp.asarray(pad_edge.astype(np.float32)))
 
     def decode(syndromes, p):
         B = syndromes.shape[0]
