@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--groups", type=int, default=16)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--paths", default="gh,mxu")
+    ap.add_argument("--bblk", type=int, default=128)
     args = ap.parse_args()
 
     import jax
@@ -61,7 +62,8 @@ def main():
 
     decs = {}
     if "gh" in args.paths:
-        decs["gh"] = make_gh_decoder(H, cfg, layers=layers, kind=args.kind)
+        decs["gh"] = make_gh_decoder(H, cfg, layers=layers, kind=args.kind,
+                                     B_blk=args.bblk)
     if "mxu" in args.paths:
         decs["mxu"] = (make_ms_mxu_decoder if args.kind == "MS"
                        else make_bp_mxu_decoder)(g, cfg, layers=layers)

@@ -67,15 +67,25 @@ def _pallas_platform_ok(cfg) -> bool:
 def _try_gh_factory(graph, cfg, eff_layers, kind):
     """General-H VMEM-resident kernel factory (ops/general_h_pallas.py),
     or None. Applies to NON-QC codes (the QC kernel wins when structure
-    exists): MS/BP, schedule F/L with contiguous layers, state fits VMEM,
-    TPU platform. impl='gh' forces (raises if unsupported)."""
+    exists): MS/BP, LAYERED schedule with contiguous layers, state fits
+    VMEM, TPU platform. Auto-picks for 'L' only — measured 3.3x the XLA
+    mxu path there (v5e, random 240x544 rw8, B_blk=512), while FLOODING
+    measured 0.84-0.89x (one fused big-batch XLA matmul per iteration
+    beats the in-kernel f32 matmuls; docs/PERFORMANCE.md r5 ledger) so F
+    keeps the mxu path unless impl='gh' forces."""
     if kind not in ("MS", "BP") or cfg.schedule.upper() not in ("F", "L"):
         if cfg.impl == "gh":
             raise ValueError("gh kernel supports MS/BP with schedule F/L")
         return None
     if cfg.impl not in ("auto", "gh"):
         return None
-    if cfg.impl == "auto" and not _pallas_platform_ok(cfg):
+    if cfg.impl == "auto" and (cfg.schedule.upper() != "L"
+                               or kind != "MS"
+                               or not _pallas_platform_ok(cfg)):
+        # auto = MS layered only: flooding measured slower than mxu, and
+        # the BP variant SIGSEGV'd this environment's remote Mosaic
+        # compile helper (r5; docs/PERFORMANCE.md) — impl='gh' can still
+        # force BP on backends whose compiler handles it.
         return None
     from qldpcsim_tpu.ops.general_h_pallas import make_gh_decoder, supports
 

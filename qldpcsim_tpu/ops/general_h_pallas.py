@@ -91,7 +91,7 @@ def supports(H: np.ndarray, layers: Optional[LayerSchedule],
 
 def make_gh_decoder(H: np.ndarray, cfg: DecoderConfig,
                     layers: Optional[LayerSchedule] = None,
-                    B_blk: int = 128, interpret: bool = False,
+                    B_blk: int = 512, interpret: bool = False,
                     kind: str = "MS"):
     """Build decode(syndromes (B, m), p) -> DecodeResult."""
     from jax.experimental import pallas as pl
@@ -121,26 +121,30 @@ def make_gh_decoder(H: np.ndarray, cfg: DecoderConfig,
             v = var_of[i, k]
             if v >= 0:
                 G[v, i * dmax + k] = 1.0
-    Gt = np.ascontiguousarray(G.T)        # scatter: P += DELTA @ Gt
+    Gt = np.ascontiguousarray(G.T)        # gather: pos = Gt @ P
     pad_edge = (var_of < 0).reshape(m, dmax)   # (m, dmax) bool
-    HT_bf = np.ascontiguousarray(H.T).astype(np.float32)  # (n, m)
+    H_f32 = H.astype(np.float32)          # (m, n) convergence matmul
 
     f32 = jnp.float32
     bf16 = jnp.bfloat16
 
-    def kernel(syn_ref, lch_ref, g_ref, gt_ref, ht_ref, pad_ref, e_ref,
+    def kernel(syn_ref, lch_ref, gt_ref, g_ref, ht_ref, pad_ref, e_ref,
                it_ref, conv_ref, post_ref):
+        """State orientation: shots on LANES, edges/vars on sublanes —
+        (E, B) messages and (n, B) posterior, so the per-check (m, dmax, B)
+        view is a tile-aligned second-minor split (a (B, cl, dmax) lane
+        split fails Mosaic layout inference: 'unsupported shape cast')."""
         L_ch = lch_ref[0, 0]
-        syn = syn_ref[...]                                   # (B, m)
+        syn = syn_ref[...]                                   # (m, B)
         syn_sign = 1.0 - 2.0 * syn
 
         def check_all(P, done, it_lat, it):
-            e = (P < 0.0).astype(bf16)
-            est = jnp.dot(e, ht_ref[...].astype(bf16),
-                          preferred_element_type=f32)        # (B, m)
+            e = (P < 0.0).astype(bf16)                       # (n, B)
+            est = jnp.dot(ht_ref[...].astype(bf16), e,
+                          preferred_element_type=f32)        # (m, B)
             est = est - 2.0 * jnp.floor(est * 0.5)
-            bad = jnp.sum(jnp.abs(est - syn), axis=1, keepdims=True)
-            ok = (bad == 0.0).astype(f32)                    # (B, 1)
+            bad = jnp.sum(jnp.abs(est - syn), axis=0, keepdims=True)
+            ok = (bad == 0.0).astype(f32)                    # (1, B)
             newly = ok * (1.0 - done)
             it_lat = it_lat + newly * ((it + 1).astype(f32) - it_lat)
             return jnp.maximum(done, ok), it_lat
@@ -149,56 +153,56 @@ def make_gh_decoder(H: np.ndarray, cfg: DecoderConfig,
             a, b = runs[li]
             e0, e1 = a * dmax, b * dmax
             cl = b - a
-            Cl = C[li]                                        # (B, El)
-            pos = jnp.dot(P, g_ref[:, e0:e1],
-                          preferred_element_type=f32)         # (B, El)
-            V = (pos - Cl).reshape(-1, cl, dmax)
-            padm = pad_ref[a:b][None, :, :] > 0.5             # (1, cl, dmax)
-            ss = syn_sign[:, a:b]                             # (B, cl)
+            Cl = C[li]                                        # (El, B)
+            pos = jnp.dot(gt_ref[e0:e1, :], P,
+                          preferred_element_type=f32)         # (El, B)
+            V = (pos - Cl).reshape(cl, dmax, -1)
+            padm = pad_ref[a:b][:, :, None] > 0.5             # (cl, dmax, 1)
+            ss = syn_sign[a:b]                                # (cl, B)
             if kind == "MS":
                 A = jnp.where(padm, _BIG, jnp.abs(V))
                 neg = jnp.where(padm, 0.0, (V < 0.0).astype(f32))
-                npar = jnp.sum(neg, axis=2)                   # (B, cl)
-                # running (min1, min2) with the reference's value-equality
-                # tie rule: an edge holding the min sees the OTHER equal
-                # minimum as its second min (two equal minima -> (v, v)),
-                # so the extrinsic select below must NOT mask all
-                # min-equal slots at once.
-                m1 = A[:, :, 0]
+                npar = jnp.sum(neg, axis=1)                   # (cl, B)
+                # running (min1, min2) with the reference value-equality
+                # tie rule: two equal minima must yield (v, v) so the
+                # extrinsic select sees the other equal minimum.
+                m1 = A[:, 0, :]
                 m2 = jnp.full_like(m1, _BIG)
                 for k in range(1, dmax):
-                    a = A[:, :, k]
-                    is_new = a < m1
-                    m2 = jnp.where(is_new, m1, jnp.minimum(m2, a))
-                    m1 = jnp.minimum(m1, a)
+                    ak = A[:, k, :]
+                    is_new = ak < m1
+                    m2 = jnp.where(is_new, m1, jnp.minimum(m2, ak))
+                    m1 = jnp.minimum(m1, ak)
                 m1c = jnp.where(m1 >= _BIG, 0.0, m1)
                 m2c = jnp.where(m2 >= _BIG, 0.0, m2)
                 par = npar - 2.0 * jnp.floor(npar * 0.5)
-                coef = beta * ss * (1.0 - 2.0 * par)          # (B, cl)
-                mag = jnp.where(A == m1c[:, :, None],
-                                m2c[:, :, None], m1c[:, :, None])
-                NEW = coef[:, :, None] * (1.0 - 2.0 * neg) * mag
+                coef = beta * ss * (1.0 - 2.0 * par)          # (cl, B)
+                mag = jnp.where(A == m1c[:, None, :],
+                                m2c[:, None, :], m1c[:, None, :])
+                NEW = coef[:, None, :] * (1.0 - 2.0 * neg) * mag
             else:
                 t = jnp.tanh(V * 0.5)
                 t = jnp.where(t < 0.0, -1.0, 1.0) * jnp.maximum(
                     jnp.abs(t), 1e-12)
                 t = jnp.where(padm, 1.0, t)
-                prod = jnp.prod(t, axis=2)                    # (B, cl)
-                prod = jnp.where(prod < 0.0, -1.0, 1.0) * jnp.maximum(
-                    jnp.abs(prod), 1e-30)
+                prod = t[:, 0, :]
+                for k in range(1, dmax):
+                    prod = prod * t[:, k, :]
+                    prod = jnp.where(prod < 0.0, -1.0, 1.0) * jnp.maximum(
+                        jnp.abs(prod), 1e-30)
                 clamp = 1.0 - eps
-                th2 = jnp.clip(prod[:, :, None] / t, -clamp, clamp)
-                NEW = ss[:, :, None] * jnp.log((1.0 + th2) / (1.0 - th2))
-            NEW = jnp.where(padm, 0.0, NEW).reshape(-1, e1 - e0)
+                th2 = jnp.clip(prod[:, None, :] / t, -clamp, clamp)
+                NEW = ss[:, None, :] * jnp.log((1.0 + th2) / (1.0 - th2))
+            NEW = jnp.where(padm, 0.0, NEW).reshape(e1 - e0, -1)
             NEW = jnp.where(active > 0.5, NEW, Cl)
             delta = NEW - Cl
-            P = P + jnp.dot(delta, gt_ref[e0:e1, :],
+            P = P + jnp.dot(g_ref[:, e0:e1], delta,
                             preferred_element_type=f32)
             return C[:li] + (NEW,) + C[li + 1:], P
 
         def body(carry):
             it, C, P, done, it_lat = carry
-            active = 1.0 - done                               # (B, 1)
+            active = 1.0 - done                               # (1, B)
             for li in range(len(runs)):
                 C, P = one_layer(li, C, P, active)
             done, it_lat = check_all(P, done, it_lat, it)
@@ -207,13 +211,13 @@ def make_gh_decoder(H: np.ndarray, cfg: DecoderConfig,
         def cond(carry):
             return (carry[0] < max_iter) & (jnp.min(carry[3]) < 0.5)
 
-        B = syn.shape[0]
+        B = syn.shape[1]
         carry = (
             jnp.int32(0),
-            tuple(jnp.zeros((B, (b - a) * dmax), f32) for a, b in runs),
-            jnp.full((B, n), L_ch, f32),
-            jnp.zeros((B, 1), f32),
-            jnp.full((B, 1), float(max_iter), f32),
+            tuple(jnp.zeros(((b - a) * dmax, B), f32) for a, b in runs),
+            jnp.full((n, B), L_ch, f32),
+            jnp.zeros((1, B), f32),
+            jnp.full((1, B), float(max_iter), f32),
         )
         _, _, P, done, it_lat = jax.lax.while_loop(cond, body, carry)
         e_ref[...] = (P < 0.0).astype(f32)
@@ -223,56 +227,56 @@ def make_gh_decoder(H: np.ndarray, cfg: DecoderConfig,
 
     state_bytes = 2 * n * E * 4 + (E + 2 * n + 2 * m) * B_blk * 4
     vmem_limit = int(min(100 * 2 ** 20,
-                         max(24 * 2 ** 20, 2 * state_bytes + 8 * 2 ** 20)))
+                         max(32 * 2 ** 20, 2 * state_bytes + 16 * 2 ** 20)))
 
     @functools.partial(jax.jit)
-    def _run(syn, lch):
-        B = syn.shape[0]
+    def _run(syn_T, lch):
+        B = syn_T.shape[1]
         grid = (B // B_blk,)
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((B_blk, m), lambda b: (b, 0)),
+                pl.BlockSpec((m, B_blk), lambda b: (0, b)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((n, E), lambda b: (0, 0)),
                 pl.BlockSpec((E, n), lambda b: (0, 0)),
-                pl.BlockSpec((n, m), lambda b: (0, 0)),
+                pl.BlockSpec((n, E), lambda b: (0, 0)),
+                pl.BlockSpec((m, n), lambda b: (0, 0)),
                 pl.BlockSpec((m, dmax), lambda b: (0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((B_blk, n), lambda b: (b, 0)),
-                pl.BlockSpec((B_blk, 1), lambda b: (b, 0)),
-                pl.BlockSpec((B_blk, 1), lambda b: (b, 0)),
-                pl.BlockSpec((B_blk, n), lambda b: (b, 0)),
+                pl.BlockSpec((n, B_blk), lambda b: (0, b)),
+                pl.BlockSpec((1, B_blk), lambda b: (0, b)),
+                pl.BlockSpec((1, B_blk), lambda b: (0, b)),
+                pl.BlockSpec((n, B_blk), lambda b: (0, b)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((B, n), f32),
-                jax.ShapeDtypeStruct((B, 1), jnp.int32),
-                jax.ShapeDtypeStruct((B, 1), jnp.int32),
-                jax.ShapeDtypeStruct((B, n), f32),
+                jax.ShapeDtypeStruct((n, B), f32),
+                jax.ShapeDtypeStruct((1, B), jnp.int32),
+                jax.ShapeDtypeStruct((1, B), jnp.int32),
+                jax.ShapeDtypeStruct((n, B), f32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit),
             interpret=interpret,
-        )(syn, lch, jnp.asarray(G), jnp.asarray(Gt), jnp.asarray(HT_bf),
-          jnp.asarray(pad_edge.astype(np.float32)))
+        )(syn_T, lch, jnp.asarray(Gt), jnp.asarray(G),
+          jnp.asarray(H_f32), jnp.asarray(pad_edge.astype(np.float32)))
 
     def decode(syndromes, p):
         B = syndromes.shape[0]
         pad = (-B) % B_blk
-        syn = jnp.asarray(syndromes).astype(f32)
+        syn_T = jnp.asarray(syndromes).astype(f32).T          # (m, B)
         if pad:
-            syn = jnp.pad(syn, ((0, pad), (0, 0)))
+            syn_T = jnp.pad(syn_T, ((0, 0), (0, pad)))
         p = jnp.asarray(p, f32)
         lch = jnp.log((1.0 - p) / jnp.maximum(p, _PRIOR_EPS)).reshape(1, 1)
-        e, it, conv, post = _run(syn, lch)
+        e, it, conv, post = _run(syn_T, lch)
         sl = slice(0, B)
         return DecodeResult(
-            e_hat=e[sl].astype(jnp.int8),
-            n_iter=it[sl, 0],
-            converged=conv[sl, 0] > 0,
-            posterior=post[sl],
+            e_hat=e.T[sl].astype(jnp.int8),
+            n_iter=it[0, sl],
+            converged=conv[0, sl] > 0,
+            posterior=post.T[sl],
         )
 
     return decode

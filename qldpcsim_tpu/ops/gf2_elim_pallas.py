@@ -283,11 +283,16 @@ def make_eliminate_pallas(n: int, r: int, mW: int, rW: int,
                 + [jax.ShapeDtypeStruct((1, nbB), jnp.float32)] * G),
             scratch_shapes=[pltpu.VMEM((rp, bw, B_blk), u32)
                             for _ in range(G)],
-            # The default 16 MB scoped-vmem budget undercounts ~1 MB for
-            # ilp=2 on lp118-sized states (scratch + window-carried values
-            # + pipeline buffers); v5e has physical headroom.
+            # Derive the scoped-vmem budget from the actual working set
+            # (G group states + fold intermediates + cols blocks + margin)
+            # instead of a hard-coded constant (r4 ADVICE #2): the default
+            # 16 MB undercounts ~1 MB for ilp=2 on lp118-sized states.
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024),
+                vmem_limit_bytes=int(min(
+                    100 * 2 ** 20,
+                    max(16 * 2 ** 20,
+                        G * (4 * rp * bw * B_blk * 4
+                             + 2 * W * mW * B_blk * 4) + 8 * 2 ** 20)))),
             interpret=interpret,
         )(*([x] * G + [cnt0] * G))
 
