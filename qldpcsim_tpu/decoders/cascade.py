@@ -69,9 +69,11 @@ def make_cascade(decoder_factory, graph, cfg, layers,
 
     Stage k >= 1 compacts the currently-unconverged lanes to the front
     (difficulty-ordered — see below) and re-decodes them from scratch at
-    the deeper cap in FIXED-SIZE WINDOWS inside a lax.while_loop: zero
-    failures cost zero trips, and a failure spike just runs more trips of
-    the one compiled window shape. This replaces the r4 design's
+    the deeper cap in FIXED-SIZE WINDOWS inside a lax.while_loop, with
+    the remaining stages NESTED inside each window body: zero failures
+    cost zero trips, a failure spike just runs more trips of the one
+    compiled window shape, and deep stages always work on window-sized
+    sub-buffers (gather/scatter locality). This replaces the r4 design's
     fixed-capacity buffer with a lax.cond overflow guard that re-decoded
     the WHOLE current set at full depth whenever a stage's tail exceeded
     its capacity — which at high p (e.g. Tanner MS-serial at p >= 0.07,
@@ -97,67 +99,70 @@ def make_cascade(decoder_factory, graph, cfg, layers,
 
     def decode(syndromes, p):
         B = syndromes.shape[0]
-        syn = jnp.asarray(syndromes)
+        syn0 = jnp.asarray(syndromes)
 
-        r0 = decs[0](syn, p)
-        e, it, conv, post = r0.e_hat, r0.n_iter, r0.converged, r0.posterior
-
-        for level in range(1, len(stages)):
+        def refine(level, syn_cur, res):
+            """Windowed refinement of res's unconverged lanes at
+            stages[level:], NESTED: each window's own stragglers refine
+            inside the window body on the window-sized context, so deep
+            stages gather/scatter sub-buffers, not the full batch (the
+            flattened formulation measured a 3.6% flagship tax,
+            docs/PERFORMANCE.md r5)."""
+            if level == len(stages):
+                return res
             iters_k, frac_k = stages[level]
-            W = min(B, max(64, -(-int(B * frac_k) // 64) * 64))
-            n_pad = -(-B // W) * W
+            Bc = syn_cur.shape[0]
+            W = min(Bc, max(64, -(-int(B * frac_k) // 64) * 64))
+            n_pad = -(-Bc // W) * W
+            e, it, conv, post = res
 
             # Compaction key: failed lanes first; among them, order by
             # syndrome weight so refinement blocks hold stragglers of
             # similar depth (the gather is paid either way; whole-chunk
-            # sorting measured an 18% permute tax instead —
+            # sorting measured an 18% permute tax instead -
             # docs/PERFORMANCE.md). Any order is counter-bit-exact:
             # per-shot decodes are lane-independent.
             if _ORDER_BY_WEIGHT:
                 key = jnp.where(conv, jnp.float32(2e9),
-                                jnp.sum(syn, axis=1, dtype=jnp.float32))
+                                jnp.sum(syn_cur, axis=1, dtype=jnp.float32))
                 order = jnp.argsort(key, stable=True)
             else:
                 order = jnp.argsort(conv, stable=True)
             order = jnp.concatenate(
                 [order.astype(jnp.int32),
-                 jnp.full((n_pad - B,), B, jnp.int32)])
+                 jnp.full((n_pad - Bc,), Bc, jnp.int32)])
             n_failed = jnp.sum(~conv)
             has_post = post is not None
-            # Data-dependent stage skip, cond-free: an INTERMEDIATE stage
-            # whose input tail exceeds 2/3 of the batch runs zero windows
-            # (its while_loop condition is simply false) and the tail
-            # falls through to the deeper stages. At p beyond threshold
-            # (e.g. Tanner MS-serial p=0.10, 83% never converge) the
-            # shallow refinement can't pay for itself — skipping it is
-            # bit-exact because a converged shot's (e_hat, n_iter) from a
-            # deeper from-scratch decode is identical.
-            if level < len(stages) - 1:
-                gate = n_failed <= (2 * B) // 3
-            else:
-                gate = True
 
             def cond_fn(c):
-                return (c[0] < n_failed) & gate
+                return c[0] < n_failed
 
-            def body(c, level=level, W=W, order=order, n_failed=n_failed):
+            def body(c):
                 lo, e, it, conv, post = c
                 idx = jax.lax.dynamic_slice(order, (lo,), (W,))
                 wv = (lo + jnp.arange(W)) < n_failed
-                idx = jnp.where(wv, idx, B)      # pad lanes: dropped below
-                r = decs[level](syn[idx], p)
-                e = e.at[idx].set(r.e_hat, mode="drop")
-                it = it.at[idx].set(r.n_iter, mode="drop")
-                conv = conv.at[idx].set(r.converged, mode="drop")
+                idx = jnp.where(wv, idx, Bc)    # pad lanes: dropped below
+                sub_syn = syn_cur[idx]
+                r = decs[level](sub_syn, p)
+                se, sit, sconv, spost = refine(
+                    level + 1, sub_syn,
+                    (r.e_hat, r.n_iter, r.converged, r.posterior))
+                e = e.at[idx].set(se, mode="drop")
+                it = it.at[idx].set(sit, mode="drop")
+                conv = conv.at[idx].set(sconv, mode="drop")
                 if post is not None:
-                    post = post.at[idx].set(r.posterior, mode="drop")
+                    post = post.at[idx].set(spost, mode="drop")
                 return lo + W, e, it, conv, post
 
             _, e, it, conv, post = jax.lax.while_loop(
                 cond_fn, body,
                 (jnp.int32(0), e, it, conv,
                  post if has_post else None))
+            return e, it, conv, post
 
+        r0 = decs[0](syn0, p)
+        e, it, conv, post = refine(
+            1, syn0, (r0.e_hat, r0.n_iter, r0.converged, r0.posterior))
         return DecodeResult(e_hat=e, n_iter=it, converged=conv,
                             posterior=post)
 
