@@ -96,18 +96,50 @@ def make_cascade(decoder_factory, graph, cfg, layers,
 
     decs = [decoder_factory(graph, dataclasses.replace(cfg, max_iter=it),
                             layers=layers) for it, _ in stages]
+    # High-p guard (gated intermediate skip + full-depth catch-all): ON
+    # for SERIAL schedules, where the beyond-threshold tail collapse was
+    # measured (Tanner MS-serial p=0.10: guard keeps r4-level 13.7k
+    # shots/s where the plain windowed cascade reads 11.7k); OFF for F/L
+    # — the zero-trip catch-all loop still costs ~1.6% per chunk and the
+    # flagship never runs in that regime (ledger: docs/PERFORMANCE.md).
+    highp_guard = cfg.schedule.upper() == "S"
 
     def decode(syndromes, p):
         B = syndromes.shape[0]
         syn0 = jnp.asarray(syndromes)
 
-        def refine(level, syn_cur, res):
+        def tail_order(syn_cur, conv, n_pad):
+            """Window order over unconverged lanes: failed first; among
+            them, by syndrome weight so refinement blocks hold stragglers
+            of similar depth (the gather is paid either way; whole-chunk
+            sorting measured an 18% permute tax instead -
+            docs/PERFORMANCE.md). Any order is counter-bit-exact:
+            per-shot decodes are lane-independent."""
+            Bc = conv.shape[0]
+            if _ORDER_BY_WEIGHT:
+                key = jnp.where(conv, jnp.float32(2e9),
+                                jnp.sum(syn_cur, axis=1, dtype=jnp.float32))
+                order = jnp.argsort(key, stable=True)
+            else:
+                order = jnp.argsort(conv, stable=True)
+            return jnp.concatenate(
+                [order.astype(jnp.int32),
+                 jnp.full((n_pad - Bc,), Bc, jnp.int32)])
+
+        def refine(level, syn_cur, res, gate=None, use_dec=None,
+                   shared_order=None):
             """Windowed refinement of res's unconverged lanes at
             stages[level:], NESTED: each window's own stragglers refine
             inside the window body on the window-sized context, so deep
             stages gather/scatter sub-buffers, not the full batch (the
             flattened formulation measured a 3.6% flagship tax,
-            docs/PERFORMANCE.md r5)."""
+            docs/PERFORMANCE.md r5). `gate` (traced bool) ANDs into the
+            window loop's condition — False runs zero trips. `use_dec`
+            overrides the stage decoder and disables nesting (the
+            catch-all pass); `shared_order` passes a precomputed
+            (order, n_failed) so the gated stage and its catch-all don't
+            both pay the argsort (an unconditional second argsort
+            measured -6% on the flagship)."""
             if level == len(stages):
                 return res
             iters_k, frac_k = stages[level]
@@ -116,26 +148,16 @@ def make_cascade(decoder_factory, graph, cfg, layers,
             n_pad = -(-Bc // W) * W
             e, it, conv, post = res
 
-            # Compaction key: failed lanes first; among them, order by
-            # syndrome weight so refinement blocks hold stragglers of
-            # similar depth (the gather is paid either way; whole-chunk
-            # sorting measured an 18% permute tax instead -
-            # docs/PERFORMANCE.md). Any order is counter-bit-exact:
-            # per-shot decodes are lane-independent.
-            if _ORDER_BY_WEIGHT:
-                key = jnp.where(conv, jnp.float32(2e9),
-                                jnp.sum(syn_cur, axis=1, dtype=jnp.float32))
-                order = jnp.argsort(key, stable=True)
+            if shared_order is None:
+                order = tail_order(syn_cur, conv, n_pad)
+                n_failed = jnp.sum(~conv)
             else:
-                order = jnp.argsort(conv, stable=True)
-            order = jnp.concatenate(
-                [order.astype(jnp.int32),
-                 jnp.full((n_pad - Bc,), Bc, jnp.int32)])
-            n_failed = jnp.sum(~conv)
+                order, n_failed = shared_order
             has_post = post is not None
 
             def cond_fn(c):
-                return c[0] < n_failed
+                live = c[0] < n_failed
+                return live if gate is None else live & gate
 
             def body(c):
                 lo, e, it, conv, post = c
@@ -143,10 +165,18 @@ def make_cascade(decoder_factory, graph, cfg, layers,
                 wv = (lo + jnp.arange(W)) < n_failed
                 idx = jnp.where(wv, idx, Bc)    # pad lanes: dropped below
                 sub_syn = syn_cur[idx]
-                r = decs[level](sub_syn, p)
-                se, sit, sconv, spost = refine(
-                    level + 1, sub_syn,
-                    (r.e_hat, r.n_iter, r.converged, r.posterior))
+                dec = decs[level] if use_dec is None else use_dec
+                r = dec(sub_syn, p)
+                if use_dec is None:
+                    se, sit, sconv, spost = refine(
+                        level + 1, sub_syn,
+                        (r.e_hat, r.n_iter, r.converged, r.posterior))
+                else:
+                    # catch-all windows already decode at full depth —
+                    # still-unconverged lanes are genuine failures, not
+                    # capacity drops; no nested refinement
+                    se, sit, sconv, spost = (r.e_hat, r.n_iter,
+                                             r.converged, r.posterior)
                 e = e.at[idx].set(se, mode="drop")
                 it = it.at[idx].set(sit, mode="drop")
                 conv = conv.at[idx].set(sconv, mode="drop")
@@ -161,8 +191,35 @@ def make_cascade(decoder_factory, graph, cfg, layers,
             return e, it, conv, post
 
         r0 = decs[0](syn0, p)
-        e, it, conv, post = refine(
-            1, syn0, (r0.e_hat, r0.n_iter, r0.converged, r0.posterior))
+        res = (r0.e_hat, r0.n_iter, r0.converged, r0.posterior)
+        if len(stages) > 2 and highp_guard:
+            # High-p guard, cond-free (the r5 config-4 tail fix): when
+            # most of the batch fails stage 1 (e.g. Tanner MS-serial at
+            # p=0.10, ~98% fail the 4-iteration head), the shallow
+            # intermediate stages cannot pay for themselves — their
+            # window loops run ZERO trips (gate ANDed into the loop
+            # condition) and a catch-all pass decodes the tail at FULL
+            # depth directly in stage-2-sized windows. Both loops SHARE
+            # one order/argsort (when the gate lets the normal path run,
+            # the catch-all runs zero trips and never reads it; when
+            # heavy, the normal path changed nothing and the order is
+            # exactly the catch-all's). Bit-exact: a from-scratch
+            # full-depth decode of any failed lane yields the same
+            # (e_hat, n_iter, posterior).
+            lv = 1
+            frac1 = stages[lv][1]
+            W1 = min(B, max(64, -(-int(B * frac1) // 64) * 64))
+            n_pad1 = -(-B // W1) * W1
+            n_f1 = jnp.sum(~r0.converged)
+            order1 = tail_order(syn0, r0.converged, n_pad1)
+            heavy = n_f1 > (2 * B) // 3
+            res = refine(lv, syn0, res, gate=~heavy,
+                         shared_order=(order1, n_f1))
+            res = refine(lv, syn0, res, gate=heavy, use_dec=decs[-1],
+                         shared_order=(order1, n_f1))
+            e, it, conv, post = res
+        else:
+            e, it, conv, post = refine(1, syn0, res)
         return DecodeResult(e_hat=e, n_iter=it, converged=conv,
                             posterior=post)
 

@@ -39,3 +39,29 @@ def test_tworound_equals_full(dec, codename, p):
     if failed.any():
         assert np.allclose(np.asarray(r1.posterior)[failed],
                            np.asarray(r2.posterior)[failed])
+
+
+def test_highp_guard_serial_equals_full():
+    """The serial-schedule cascade's high-p guard (gated intermediate
+    skip + full-depth catch-all windows, decoders/cascade.py) must be
+    bit-identical to a plain full-depth decode when it fires (>2/3 of
+    the batch failing stage 1) AND when it does not."""
+    rng = np.random.default_rng(7)
+    H = np.asarray(get_code("lp04_0").Hz)
+    graph = TannerGraph.build(H)
+    from qldpcsim_tpu.decoders.common import build_layers
+
+    layers = build_layers(H, "S")
+    for p in (0.03, 0.30):     # guard idle / guard firing
+        syn = _shots(rng, H, 192, p)
+        single = make_decoder(graph, DecoderConfig(
+            dec_type="MS", max_iter=30, round1_iters=-1,
+            schedule="S"), layers=layers)
+        casc = make_decoder(graph, DecoderConfig(
+            dec_type="MS", max_iter=30, schedule="S"), layers=layers)
+        r1 = single(syn, 0.02)
+        r2 = casc(syn, 0.02)
+        assert (np.asarray(r1.e_hat) == np.asarray(r2.e_hat)).all(), p
+        assert (np.asarray(r1.n_iter) == np.asarray(r2.n_iter)).all(), p
+        assert (np.asarray(r1.converged)
+                == np.asarray(r2.converged)).all(), p
