@@ -154,15 +154,23 @@ class SimConfig:
 
 
 # Codes whose parity-check matrices have any dimension smaller than this run
-# on the CPU backend under device="auto" when the session default is a TPU:
-# the TPU (Mosaic/XLA) compiler has been observed to SIGSEGV on decode graphs
-# over small matrices (observed on Shor 2x9; small-dim compiles are routed
-# away wholesale because a compiler segfault wedges the TPU service for tens
-# of minutes). Sub-128-dim codes are latency- not throughput-bound anyway.
-# Re-probe safely with benchmarks/probe_tpu_small.py (subprocess-guarded,
-# time-boxed); if probes pass, lower the threshold via QLDPC_TINY_CODE_DIM
-# without a code change.
-TINY_CODE_DIM = int(os.environ.get("QLDPC_TINY_CODE_DIM", "128"))
+# on the CPU backend under device="auto" when the session default is a TPU.
+# History: through round 4 the remote TPU compiler SIGSEGV'd on small-matrix
+# decode graphs AND a crash wedged the whole service, so everything below
+# 128 was routed away. The round-5 probe ladder (benchmarks/
+# probe_tpu_small.py + real-workload probes, benchmarks/tpu_small_probe
+# .json) measured the toolchain FIXED for MS/BF/NG down to Shor's 2x9
+# (Steane MS-layered: 1.98M warm shots/s on TPU vs 154k CPU), while BP
+# still crashes the compile helper on tiny graphs (SIGSEGV at min dim <= 3;
+# passes at 84 = LP04_0, which now runs the TPU path at 2.36M warm). The
+# crash is also now CONTAINED to the AOT helper subprocess (fast error, no
+# service wedge), so simulate_p additionally carries a first-dispatch CPU
+# fallback. Thresholds (env QLDPC_TINY_CODE_DIM overrides both):
+TINY_CODE_DIM_BP = 64     # SIGSEGV evidence at <= 3, pass at 84
+TINY_CODE_DIM = 0         # MS/BF/NG: probe-passed down to 2x9
+_env_tiny = os.environ.get("QLDPC_TINY_CODE_DIM")
+if _env_tiny is not None:
+    TINY_CODE_DIM = TINY_CODE_DIM_BP = int(_env_tiny)
 
 
 def _resolve_exec_mode(cfg: SimConfig, platform: str) -> str:
@@ -190,7 +198,9 @@ def _resolve_exec_device(cfg: SimConfig, min_dim: int):
     if cfg.mesh is not None or cfg.device == "default":
         return None
     want_cpu = cfg.device == "cpu"
-    if cfg.device == "auto" and min_dim < TINY_CODE_DIM:
+    thresh = (TINY_CODE_DIM_BP if cfg.dec_type.upper() == "BP"
+              else TINY_CODE_DIM)
+    if cfg.device == "auto" and min_dim < thresh:
         plats = (jax.config.jax_platforms or "").lower()
         want_cpu = ("tpu" in plats or "axon" in plats)
     if not want_cpu:
@@ -780,25 +790,53 @@ def simulate_p(Hx: np.ndarray, Hz: np.ndarray, p: float,
     while c < n_chunks:
         g = min(G, n_chunks - c)
         group_valid = min(g * batch, shots - c * batch)
-        with pipe.device_ctx():
-            # Global tile stream: chunk c owns tiles [c * tpc, (c+1) * tpc).
-            keys = chunk_keys(key, c * tpc, g * tpc)
-            if cfg.mesh is not None:
-                ndev, per_dev = pipe.n_dev, pipe.per_dev
-                # keys[d, i] = tiles of chunk c+i owned by device d
-                keys = keys.reshape(g, ndev, pipe.tiles_per_dev, -1)
-                keys = jnp.swapaxes(keys, 0, 1)
-                base = (c + np.arange(g)[None, :]) * batch  # (1, g)
-                nv = np.clip(shots - base - np.arange(ndev)[:, None] * per_dev,
-                             0, per_dev)
-                counts = pipe._multi_counts(keys, jnp.float32(p),
-                                            jnp.asarray(nv, jnp.int32))
-            else:
-                keys = keys.reshape(g, tpc, -1)
-                nv = np.clip(shots - (c + np.arange(g)) * batch, 0, batch)
-                counts = pipe._multi_counts(keys, jnp.float32(p),
-                                            jnp.asarray(nv, jnp.int32))
-        counts = jax.device_get(counts)
+        try:
+            with pipe.device_ctx():
+                # Global tile stream: chunk c owns tiles
+                # [c * tpc, (c+1) * tpc).
+                keys = chunk_keys(key, c * tpc, g * tpc)
+                if cfg.mesh is not None:
+                    ndev, per_dev = pipe.n_dev, pipe.per_dev
+                    # keys[d, i] = tiles of chunk c+i owned by device d
+                    keys = keys.reshape(g, ndev, pipe.tiles_per_dev, -1)
+                    keys = jnp.swapaxes(keys, 0, 1)
+                    base = (c + np.arange(g)[None, :]) * batch  # (1, g)
+                    nv = np.clip(
+                        shots - base - np.arange(ndev)[:, None] * per_dev,
+                        0, per_dev)
+                    counts = pipe._multi_counts(keys, jnp.float32(p),
+                                                jnp.asarray(nv, jnp.int32))
+                else:
+                    keys = keys.reshape(g, tpc, -1)
+                    nv = np.clip(shots - (c + np.arange(g)) * batch,
+                                 0, batch)
+                    counts = pipe._multi_counts(keys, jnp.float32(p),
+                                                jnp.asarray(nv, jnp.int32))
+            counts = jax.device_get(counts)
+        except Exception as e:  # noqa: BLE001 — compile/dispatch failure
+            # First-dispatch CPU fallback: the remote TPU compiler still
+            # SIGSEGVs on SOME small decode graphs (r5 evidence: BP at
+            # min dim <= 3; the crash is contained to the AOT helper
+            # subprocess and surfaces here as a fast exception). Before
+            # any counters have accumulated, rebuild the pipeline on the
+            # CPU backend and restart — counters stay bit-exact by the
+            # RNG tile contract. Mid-run failures re-raise (partial
+            # totals must not silently mix layouts).
+            if not (c == start_chunk and cfg.mesh is None
+                    and cfg.device == "auto"
+                    and pipe.exec_device is None):
+                raise
+            import warnings
+
+            warnings.warn(
+                f"decode graph failed to compile on the default backend "
+                f"({type(e).__name__}); falling back to CPU for this "
+                "pipeline", RuntimeWarning)
+            cfg = dataclasses.replace(cfg, device="cpu")
+            pipe = ShotPipeline(Hx, Hz, cfg)
+            with pipe.device_ctx():
+                key = jax.random.fold_in(jax.random.PRNGKey(seed), p_index)
+            continue
         if int(np.asarray(counts.get("gcOverflow", 0)).sum()):
             # A chunk's stragglers overflowed the cascade-deferral capacity
             # (very high p): they were not counted, so re-run the whole
