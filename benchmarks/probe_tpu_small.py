@@ -4,8 +4,9 @@ Background (docs/PERFORMANCE.md, DIVERGENCES.md "Execution environment"):
 this environment's remote TPU compiler has SIGSEGV'd / hung on decode graphs
 over small parity-check matrices (observed from Shor's 2x9 up to lp04_0's
 84x175), and a hung compile WEDGES the whole TPU service for ~5-30 min.
-The engine therefore routes codes with min dimension < TINY_CODE_DIM (=128,
-env-overridable via QLDPC_TINY_CODE_DIM) to the CPU backend.
+The engine routes codes with min dimension below a threshold to the CPU
+backend (round 5: TINY_CODE_DIM=0 for MS/BF/NG, TINY_CODE_DIM_BP=64 —
+set from this ladder's results; QLDPC_TINY_CODE_DIM overrides both).
 
 That threshold rests on manual probes. This script re-probes it SAFELY:
 

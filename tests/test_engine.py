@@ -496,3 +496,50 @@ def test_group_cascade_overflow_fallback():
         del os.environ["QLDPC_GROUP_CASCADE"]
     r_old = simulate_p(code.Hx, code.Hz, 0.30, SimConfig(**base))
     assert r_new.counters == r_old.counters
+
+
+def test_first_dispatch_cpu_fallback(monkeypatch):
+    """simulate_p's first-dispatch fallback: when the decode graph fails
+    to compile on the default backend (the contained compiler SIGSEGV for
+    BP on tiny matrices — DIVERGENCES 'Execution environment'), the
+    pipeline rebuilds on the CPU backend and the counters equal a plain
+    CPU run (RNG tile contract)."""
+    import warnings
+
+    code = get_code("steane")
+    base = dict(shots=512, dec_type="MS", dec_iterations=10, rng_seed=4,
+                batch_size=256)
+    ref = simulate_p(code.Hx, code.Hz, 0.03, SimConfig(**base))
+
+    pipe = ShotPipeline(code.Hx, code.Hz, SimConfig(**base))
+    calls = {"n": 0}
+    orig = pipe._multi_counts
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("synthetic compile failure")
+
+    pipe._multi_counts = boom
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r = simulate_p(code.Hx, code.Hz, 0.03, SimConfig(**base),
+                       pipeline=pipe)
+    assert calls["n"] == 1
+    assert any("falling back to CPU" in str(x.message) for x in w)
+    assert r.counters == ref.counters
+
+    # mid-run failures must re-raise, not silently switch layouts
+    pipe2 = ShotPipeline(code.Hx, code.Hz, SimConfig(**base))
+    orig2 = pipe2._multi_counts
+
+    def boom_later(*a, **k):
+        if calls.setdefault("m", 0) == 0:
+            calls["m"] = 1
+            return orig2(*a, **k)
+        raise RuntimeError("synthetic mid-run failure")
+
+    pipe2._multi_counts = boom_later
+    pipe2.dispatch_chunks = 1
+    with pytest.raises(RuntimeError, match="mid-run"):
+        simulate_p(code.Hx, code.Hz, 0.03, SimConfig(**base),
+                   pipeline=pipe2)
