@@ -3,7 +3,7 @@ undeclared tomlkit dependency)."""
 
 from importlib import metadata
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 try:  # prefer installed metadata when available
     __version__ = metadata.version("qldpcsim-tpu")
