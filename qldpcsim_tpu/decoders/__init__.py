@@ -96,6 +96,18 @@ def _try_gh_factory(graph, cfg, eff_layers, kind):
                              "VMEM-sized incidence (see general_h_pallas"
                              ".supports)")
         return None
+    if cfg.impl == "auto":
+        # Size floor: the gh kernel's VMEM-residency only pays once the
+        # mxu path's per-layer HBM state is substantial — measured on v5e:
+        # E=1920 (240x544 rw8) gh wins 3.3x, E=32 (Steane) mxu wins ~4%
+        # (2.15M vs 2.07M warm). Gate auto-pick on the padded edge count;
+        # impl='gh' forces regardless.
+        import numpy as _np
+
+        H = _np.asarray(graph.H) % 2
+        E = H.shape[0] * (int(H.sum(axis=1).max()) if H.size else 0)
+        if E < 512:
+            return None
 
     def factory(graph2, cfg2, layers=None):
         return make_gh_decoder(graph2.H, cfg2, layers=layers, kind=kind)
