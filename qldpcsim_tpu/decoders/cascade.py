@@ -6,16 +6,21 @@ iterations (the reference exits per shot, simulator.py:244 + decoders.py:175).
 
 Solution (in-jit, shard_map-safe): decode the full batch with a shallow
 iteration cap; the unconverged tail — typically a few percent — is compacted
-into a fixed-capacity prefix via a stable argsort and re-decoded from scratch
-at the next stage's deeper cap, recursively. MS/BP are deterministic functions
-of the syndrome, so a from-scratch re-decode reproduces the continued
-trajectory exactly: results, posteriors and iteration counts are bit-identical
-to a single full-depth decode (tested in tests/test_tworound.py).
+to the front (difficulty-ordered) and re-decoded from scratch at the next
+stage's deeper cap in fixed-size WINDOWS inside a lax.while_loop, with the
+remaining stages nested inside each window body. MS/BP are deterministic
+functions of the syndrome, so a from-scratch re-decode reproduces the
+continued trajectory exactly: results, posteriors and iteration counts are
+bit-identical to a single full-depth decode (tests/test_tworound.py).
 
-Each stage is guarded by a lax.cond: if more shots fail than the next stage's
-capacity, the CURRENT active set is re-decoded at full depth instead — so
-correctness never depends on the failure rate, only throughput does. No
-collectives run inside the branches, so the conds are safe under shard_map.
+Windowing is capacity-independent — zero failures cost zero trips, a
+failure spike just runs more trips of the one compiled window shape — so
+correctness never depends on the failure rate, only throughput does (the
+r4 design's lax.cond overflow guard collapsed ~6x at high p). Serial
+schedules additionally carry a cond-free high-p guard: when >2/3 of the
+batch fails stage 1, intermediate stages run zero trips and a catch-all
+pass decodes the tail at full depth directly. No collectives run anywhere
+in the loops, so the cascade is safe under shard_map.
 """
 
 from __future__ import annotations
@@ -45,9 +50,8 @@ def default_stages(max_iter: int, batch_hint: int = 4096) -> List[Tuple[int, flo
     7.0% of shots unconverged after 4 iterations (fits the 1/8 stage),
     1.7% after 10 (fits the 1/32 stage) — stage-2 cap 12 -> 10 measured
     +2% full-pipeline; deeper caps only move work between stages. The
-    per-stage lax.cond guard re-decodes at full depth whenever a tail
-    overflows its stage, so these numbers only tune throughput, never
-    correctness."""
+    windowed refinement is capacity-independent, so these numbers only
+    tune throughput, never correctness."""
     if max_iter <= 12:
         return [(max_iter, 1.0)]
     stages = [(4, 1.0)]
