@@ -324,10 +324,7 @@ class ShotPipeline:
         self.tile = _tile_size(self.batch, self.per_dev)
         self.tiles_per_dev = self.per_dev // self.tile
         self.tiles_per_chunk = self.batch // self.tile
-        # Difficulty-ordered shot blocking (see _sort_records). Auto: on
-        # for deep iterative decoders on the TPU path (where the permute
-        # rides the MXU and 128-lane blocks idle on stragglers), off
-        # elsewhere; windows must tile the per-device chunk.
+        # Difficulty-ordered shot blocking (see _sort_records); opt-in.
         sw = cfg.sort_window
         env_sw = os.environ.get("QLDPC_SORT_WINDOW")
         if env_sw is not None:
