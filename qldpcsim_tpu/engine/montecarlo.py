@@ -109,20 +109,23 @@ class SimConfig:
     exec_mode: str = "auto"       # sharded execution strategy when mesh is
                                   # set: "shardmap" (one partitioned program,
                                   # psum counter reduction — the standard
-                                  # JAX path) | "perdevice" (one
-                                  # single-device jit dispatched per mesh
-                                  # device + host-side integer reduction —
-                                  # bit-exact by the RNG tile contract;
-                                  # single-process only) | "auto" (shardmap
-                                  # on CPU meshes; perdevice on TPU meshes,
-                                  # where this environment's remote
-                                  # compiler hangs on shard_map graphs —
-                                  # DIVERGENCES.md). Env override:
+                                  # JAX path) | "perdevice" (single-device
+                                  # jits dispatched per LOCAL mesh device;
+                                  # counters reduced host-side and, under
+                                  # multi-process, across processes via
+                                  # the coordination-service KV store —
+                                  # bit-exact by the RNG tile contract, no
+                                  # partitioned compile anywhere) | "auto"
+                                  # (shardmap on CPU meshes; perdevice on
+                                  # TPU meshes, where this environment's
+                                  # remote compiler hangs on shard_map
+                                  # graphs — DIVERGENCES.md). Env override:
                                   # QLDPC_EXEC_MODE.
     device: str = "auto"          # "auto" | "default" | "cpu": "auto" routes
-                                  # small codes (min dim < TINY_CODE_DIM) to
-                                  # the CPU backend — the TPU compiler
-                                  # segfaults on tiny decode graphs
+                                  # only BP-on-tiny codes (min dim <
+                                  # TINY_CODE_DIM_BP) to the CPU backend —
+                                  # the one graph family this environment's
+                                  # TPU compiler still rejects (r5 probes)
     impl: str = "auto"            # decoder implementation override
                                   # (DecoderConfig.impl): auto|edge|mxu|seq|qc
     dispatch_chunks: int = 0      # chunks fused per device dispatch via
@@ -136,10 +139,11 @@ class SimConfig:
                                   # decoding, so 128-lane kernel blocks hold
                                   # shots of similar iteration count (a
                                   # block runs to its slowest lane). 0 =
-                                  # off; -1 = auto (on for deep iterative
-                                  # decoders on the TPU path); counters are
-                                  # bit-exact either way (_sort_records).
-                                  # Env override: QLDPC_SORT_WINDOW.
+                                  # off; -1 = auto (= off: measured
+                                  # negative, docs/PERFORMANCE.md r5);
+                                  # counters are bit-exact either way
+                                  # (_sort_records). Env override:
+                                  # QLDPC_SORT_WINDOW.
 
     def decoder_config(self) -> DecoderConfig:
         return DecoderConfig(
