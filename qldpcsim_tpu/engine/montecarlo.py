@@ -127,7 +127,8 @@ class SimConfig:
                                   # the one graph family this environment's
                                   # TPU compiler still rejects (r5 probes)
     impl: str = "auto"            # decoder implementation override
-                                  # (DecoderConfig.impl): auto|edge|mxu|seq|qc
+                                  # (DecoderConfig.impl):
+                                  # auto|edge|mxu|seq|qc|gh
     dispatch_chunks: int = 0      # chunks fused per device dispatch via
                                   # lax.scan (0 = auto). Amortizes host->device
                                   # dispatch latency (large over the remote
