@@ -60,12 +60,15 @@ def build_parser() -> argparse.ArgumentParser:
                           "on TPU meshes.")
     tpu.add_argument("--layerCompat", action="store_true",
                      help="Reproduce the reference's cross-wired layer derivation.")
-    tpu.add_argument("--impl", choices=("auto", "edge", "mxu", "seq", "qc"),
+    tpu.add_argument("--impl",
+                     choices=("auto", "edge", "mxu", "seq", "qc", "gh"),
                      default="auto",
                      help="Decoder implementation override: edge (bit-exact "
                           "reference-parity path), mxu (incidence-matmul), "
                           "seq (row-sequential), qc (Pallas circulant "
-                          "kernel); auto picks per platform/structure.")
+                          "kernel), gh (Pallas general-H VMEM kernel for "
+                          "non-QC codes); auto picks per "
+                          "platform/structure.")
     tpu.add_argument("--device", choices=("auto", "default", "cpu"),
                      default="auto",
                      help="Execution backend: auto routes sub-128-dim codes "
