@@ -183,12 +183,20 @@ def _resolve_exec_mode(cfg: SimConfig, platform: str) -> str:
     single- and multi-process meshes: under multi-process, 'perdevice'
     dispatches per LOCAL device and reduces the counter vector across
     processes through the coordination-service KV store — never a
-    partitioned compile (parallel/mesh.py::allreduce_counters_host)."""
+    partitioned compile (parallel/mesh.py::allreduce_counters_host).
+
+    Auto = 'shardmap' everywhere since round 5: the partitioned compile
+    that hung this environment's TPU backend through r4 now works
+    (benchmarks/tpu_shardmap_probe.json), and on a meshed flagship run
+    shardmap measured 3.55M vs perdevice's 2.44M warm shots/s (one
+    program vs a host dispatch loop per device), counters bit-exact.
+    Single-process shardmap runs keep the automatic perdevice fallback
+    for residual compile failures; QLDPC_EXEC_MODE overrides."""
     mode = cfg.exec_mode
     if mode == "auto":
         mode = os.environ.get("QLDPC_EXEC_MODE", "auto")
     if mode == "auto":
-        mode = "perdevice" if platform == "tpu" else "shardmap"
+        mode = "shardmap"
     if mode not in ("shardmap", "perdevice"):
         raise ValueError(f"exec_mode must be auto|shardmap|perdevice, "
                          f"got {cfg.exec_mode!r}")
