@@ -116,10 +116,11 @@ class SimConfig:
                                   # the coordination-service KV store —
                                   # bit-exact by the RNG tile contract, no
                                   # partitioned compile anywhere) | "auto"
-                                  # (shardmap on CPU meshes; perdevice on
-                                  # TPU meshes, where this environment's
-                                  # remote compiler hangs on shard_map
-                                  # graphs — DIVERGENCES.md). Env override:
+                                  # (= shardmap since r5: the partitioned
+                                  # compile works on this backend now and
+                                  # measured faster; perdevice remains
+                                  # the no-partitioner fallback —
+                                  # DIVERGENCES.md). Env override:
                                   # QLDPC_EXEC_MODE.
     device: str = "auto"          # "auto" | "default" | "cpu": "auto" routes
                                   # only BP-on-tiny codes (min dim <
