@@ -30,8 +30,9 @@ BATCH = 4096
 # Chunks fused per device dispatch (lax.scan). Each dispatch over the remote
 # tunnel costs ~3.3 ms regardless of payload (measured: a write-only Pallas
 # kernel floors there), so large groups amortize it: 16 -> 4.24M, 32 -> 4.45M,
-# 64 -> 4.66M, 128 -> 4.85M, 256 -> 4.89M shots/s on the flagship.
-BENCH_CHUNKS = 256
+# 64 -> 4.66M, 128 -> 4.85M, 256 -> 4.89M, 512 -> 4.92M shots/s on the
+# flagship (r5).
+BENCH_CHUNKS = 512
 
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--impl", default="auto",
